@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark: tri-modal end-to-end inference samples/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+- value: steady-state samples/sec of the flagship tri-modal detector
+  (camera+lidar+radar, BEV fusion, CenterNet head) running forward + on-device
+  decode in bfloat16, best over batch sizes.
+- vs_baseline: ratio vs. the measured torch-CPU reference-equivalent
+  (the reference publishes no throughput numbers — BASELINE.md; its exact
+  code cannot run here since torchvision is absent, so an architecture- and
+  FLOP-identical torch model is timed instead). The CPU measurement is cached
+  in bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / "bench_baseline.json"
+
+
+def get_cpu_baseline() -> float:
+    if BASELINE_CACHE.exists():
+        return json.load(open(BASELINE_CACHE))["cpu_samples_per_sec"]
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.torch_baseline import (
+        measure_cpu_baseline,
+    )
+
+    sps = measure_cpu_baseline()
+    json.dump(
+        {
+            "cpu_samples_per_sec": sps,
+            "note": "torch-CPU reference-equivalent tri-modal forward+decode, "
+            "batch 1, eval mode",
+        },
+        open(BASELINE_CACHE, "w"),
+        indent=2,
+    )
+    return sps
+
+
+def measure_tpu(batch_sizes=(1, 4, 8), warmup=2, iters=8) -> float:
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+        decode_centernet_predictions,
+    )
+
+    cfg = load_config(str(REPO / "configs" / "base.yaml"))
+    spec = DetectorSpec.from_config(cfg)
+    compat = CompatFlags.from_config(cfg)
+    model = MultiModal3DDetector(spec=spec, dtype=jnp.bfloat16)
+
+    h, w = spec.camera.image_size
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((1, 6, h, w, 3), jnp.bfloat16),
+        jnp.zeros((1, spec.lidar.max_points, 4), jnp.bfloat16),
+        jnp.zeros(
+            (1, spec.radar.num_radars, spec.radar.max_points_per_sensor, 7),
+            jnp.bfloat16,
+        ),
+        train=False,
+    )
+
+    @jax.jit
+    def infer(variables, cams, lidar, radars):
+        preds = model.apply(variables, cams, lidar, radars, train=False)
+        return decode_centernet_predictions(
+            preds,
+            max_detections=spec.centernet.max_detections,
+            voxel_size=2.048,
+            pc_range=spec.bev.pc_range,
+            class_always_zero=compat.decode_class_always_zero,
+        )
+
+    best = 0.0
+    rs = np.random.RandomState(0)
+    for bs in batch_sizes:
+        cams = jnp.asarray(
+            rs.randn(bs, 6, h, w, 3), jnp.bfloat16
+        )
+        lidar = jnp.asarray(
+            rs.randn(bs, spec.lidar.max_points, 4), jnp.bfloat16
+        )
+        radars = jnp.asarray(
+            rs.randn(bs, spec.radar.num_radars,
+                     spec.radar.max_points_per_sensor, 7),
+            jnp.bfloat16,
+        )
+        try:
+            for _ in range(warmup):
+                out = infer(variables, cams, lidar, radars)
+                jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = infer(variables, cams, lidar, radars)
+            jax.block_until_ready(out)
+            elapsed = time.perf_counter() - t0
+            sps = bs * iters / elapsed
+            print(
+                f"# batch={bs}: {sps:.2f} samples/sec "
+                f"({1000 * elapsed / iters:.1f} ms/iter)",
+                file=sys.stderr,
+            )
+            best = max(best, sps)
+        except Exception as e:  # OOM at large batch etc.
+            print(f"# batch={bs} failed: {e}", file=sys.stderr)
+    return best
+
+
+def main() -> None:
+    tpu_sps = measure_tpu()
+    try:
+        cpu_sps = get_cpu_baseline()
+    except Exception as e:
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+        cpu_sps = None
+    result = {
+        "metric": "tri-modal inference samples/sec (1 TPU chip, bf16, "
+        "forward + on-device decode)",
+        "value": round(tpu_sps, 3),
+        "unit": "samples/sec",
+        "vs_baseline": (
+            round(tpu_sps / cpu_sps, 2) if cpu_sps else None
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,548 @@
+"""Config system: YAML loading + typed, hashable specs for jit-static model config.
+
+The YAML schema is identical to the reference `configs/base.yaml`
+(ref: configs/base.yaml:1-642). The reference passes raw dicts around with
+per-key ``.get`` fallbacks duplicated in every class (ref: fusion.py:62-118,
+encoders.py:79-99); here the dict is parsed ONCE into frozen dataclasses that
+are hashable, so they can be jit-static arguments and model hyperparameters.
+
+A ``compat`` section (new, optional in YAML) exposes every documented quirk of
+the reference as an explicit flag, defaulting to reference behavior so that
+eval numbers are reproducible; each flag is one switch away from corrected
+behavior. See SURVEY.md quirk ledger Q1-Q18.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+# The 10 nuScenes classes in dataset/label-encoding order
+# (ref: configs/base.yaml:33-43, train_detect.py:191-195).
+DEFAULT_CLASSES: Tuple[str, ...] = (
+    "car",
+    "truck",
+    "trailer",
+    "bus",
+    "construction_vehicle",
+    "bicycle",
+    "motorcycle",
+    "pedestrian",
+    "traffic_cone",
+    "barrier",
+)
+
+# The (different) order utils_v2.py reports per-class AP in
+# (ref: utils_v2.py:98-101) — quirk Q9.
+METRIC_REPORT_CLASSES: Tuple[str, ...] = (
+    "car",
+    "truck",
+    "bus",
+    "trailer",
+    "construction_vehicle",
+    "pedestrian",
+    "motorcycle",
+    "bicycle",
+    "traffic_cone",
+    "barrier",
+)
+
+DEFAULT_PC_RANGE: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+CAMERA_ORDER: Tuple[str, ...] = (
+    "CAM_FRONT",
+    "CAM_FRONT_RIGHT",
+    "CAM_FRONT_LEFT",
+    "CAM_BACK",
+    "CAM_BACK_LEFT",
+    "CAM_BACK_RIGHT",
+)
+
+RADAR_ORDER: Tuple[str, ...] = (
+    "RADAR_FRONT",
+    "RADAR_FRONT_LEFT",
+    "RADAR_FRONT_RIGHT",
+    "RADAR_BACK_LEFT",
+    "RADAR_BACK_RIGHT",
+)
+
+
+def load_config(config_path: str) -> Dict[str, Any]:
+    """Load a YAML config file into a raw dict (same contract as the reference
+    ``load_config``, ref: fusion.py:22-39 / encoders.py:16-33)."""
+    with open(config_path, "r") as f:
+        return yaml.safe_load(f)
+
+
+def _get(cfg: Optional[Dict], *path, default=None):
+    cur: Any = cfg or {}
+    for key in path:
+        if not isinstance(cur, dict):
+            return default
+        cur = cur.get(key, None)
+        if cur is None:
+            return default
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Compat flags (quirk ledger)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CompatFlags:
+    """Explicit switches for every reference quirk; defaults = reference behavior.
+
+    See SURVEY.md appendix (quirk ledger Q1-Q18) for file:line citations.
+    """
+
+    # Q1: decode labels everything class 0 ("car"):
+    # topk class index computed after the modulo (centernet_target.py:434).
+    decode_class_always_zero: bool = True
+    # Q2: focal loss re-applies sigmoid to the already-sigmoided heatmap
+    # (fusion.py:871 + centernet_target.py:563).
+    double_sigmoid_focal: bool = True
+    # Q3: standalone eval/inference decode uses voxel_size=0.512 on a 50x50
+    # grid (fusion_detection.py:757) while training-eval uses 2.048
+    # (centernet_target.py:389).
+    eval_decode_voxel_0512: bool = True
+    # Q4: radar loader returns np.random.randn dummy points
+    # (train_detect.py:173-177).
+    random_radar_points: bool = True
+    # Q5: LiDAR .bin parsed as 4 floats/point; nuScenes is 5
+    # (train_detect.py:151).
+    lidar_four_float_parse: bool = True
+    # Q6: LR scheduler constructed but never stepped (train_detect.py:796-809).
+    constant_lr: bool = True
+    # Q9: per-class metric report rows use a different class order than label
+    # encoding (utils_v2.py:98-101 vs configs/base.yaml:33-43).
+    metric_report_class_order: bool = True
+    # Q13: PointNet max-pool does not mask zero-padded points
+    # (encoders.py:298 with train_detect.py:187-189).
+    unmasked_point_padding: bool = True
+
+    @staticmethod
+    def from_config(cfg: Optional[Dict]) -> "CompatFlags":
+        c = _get(cfg, "compat", default={}) or {}
+        fields = {f.name for f in dataclasses.fields(CompatFlags)}
+        return CompatFlags(**{k: v for k, v in c.items() if k in fields})
+
+
+# ---------------------------------------------------------------------------
+# Model specs
+# ---------------------------------------------------------------------------
+
+
+def parse_modalities(modality_config: Optional[str]) -> Tuple[bool, bool, bool]:
+    """Parse 'camera+lidar+radar' / 'all' style strings by substring match,
+    matching the reference factory semantics (ref: fusion.py:1197-1202)."""
+    if modality_config is None:
+        return True, True, True
+    m = modality_config.lower().replace(" ", "")
+    use_camera = "camera" in m or m == "all"
+    use_lidar = "lidar" in m or m == "all"
+    use_radar = "radar" in m or m == "all"
+    return use_camera, use_lidar, use_radar
+
+
+@dataclass(frozen=True)
+class CameraEncoderSpec:
+    backbone: str = "resnet18"
+    pretrained: bool = True
+    freeze_bn: bool = False
+    out_channels: int = 512
+    total_stride: int = 16
+    image_size: Tuple[int, int] = (448, 800)
+
+
+@dataclass(frozen=True)
+class LidarEncoderSpec:
+    encoder_type: str = "PointNet"  # 'PointNet' or 'VoxelNet'
+    input_channels: int = 4
+    feat_dim: int = 1024
+    max_points: int = 35000
+    mlp_layers: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    use_batch_norm: bool = True
+    # VoxelNet alternative (ref: encoders.py:308-455, config stub
+    # configs/base.yaml:188-192)
+    voxel_size: Tuple[float, float, float] = (0.1, 0.1, 0.2)
+
+
+@dataclass(frozen=True)
+class RadarEncoderSpec:
+    input_channels: int = 7
+    feat_dim: int = 256
+    num_radars: int = 5
+    max_points_per_sensor: int = 125
+    mlp_layers: Tuple[int, ...] = (32, 64, 128, 256)
+    fusion_method: str = "concat"  # 'concat' | 'max' | 'mean'
+    use_batch_norm: bool = True
+
+
+@dataclass(frozen=True)
+class BEVFusionSpec:
+    bev_h: int = 50
+    bev_w: int = 50
+    bev_channels: int = 256
+    pc_range: Tuple[float, ...] = DEFAULT_PC_RANGE
+    lidar_hidden_dim: int = 128
+    lidar_start_size: int = 25
+    # camera-to-BEV mode: 'pseudo' = reference parity (mean over cameras +
+    # bilinear resize, fusion.py:233-247); 'geometric' = lift-splat over
+    # depth bins with a BEVPool-style scatter-add (upgrade path).
+    camera_to_bev: str = "pseudo"
+    depth_bins: int = 40
+    depth_min: float = 1.0
+    depth_max: float = 60.0
+
+
+@dataclass(frozen=True)
+class AttentionFusionSpec:
+    hidden_dim: int = 512
+    num_heads: int = 8
+    num_layers: int = 2
+    dropout: float = 0.1
+    ffn_expansion: int = 4
+
+
+@dataclass(frozen=True)
+class LateFusionSpec:
+    output_dim: int = 512
+    hidden_dim: int = 1024
+    dropout: float = 0.3
+
+
+@dataclass(frozen=True)
+class CenterNetHeadSpec:
+    in_channels: int = 256
+    head_conv: int = 64
+    num_classes: int = 10
+    heatmap_threshold: float = 0.1
+    max_detections: int = 100
+
+
+@dataclass(frozen=True)
+class MLPHeadSpec:
+    in_channels: int = 512
+    hidden_dim: int = 256
+    num_classes: int = 10
+    dropout: float = 0.1
+
+
+@dataclass(frozen=True)
+class DetectorSpec:
+    """Full, hashable model hyperparameter bundle (jit-static)."""
+
+    use_camera: bool = True
+    use_lidar: bool = True
+    use_radar: bool = True
+    fusion_type: str = "bev"  # 'bev' | 'attention' | 'late'
+    detection_head: str = "centernet"  # 'centernet' | 'mlp'
+    num_classes: int = 10
+    camera: CameraEncoderSpec = field(default_factory=CameraEncoderSpec)
+    lidar: LidarEncoderSpec = field(default_factory=LidarEncoderSpec)
+    radar: RadarEncoderSpec = field(default_factory=RadarEncoderSpec)
+    bev: BEVFusionSpec = field(default_factory=BEVFusionSpec)
+    attention: AttentionFusionSpec = field(default_factory=AttentionFusionSpec)
+    late: LateFusionSpec = field(default_factory=LateFusionSpec)
+    centernet: CenterNetHeadSpec = field(default_factory=CenterNetHeadSpec)
+    mlp: MLPHeadSpec = field(default_factory=MLPHeadSpec)
+
+    @property
+    def num_modalities(self) -> int:
+        return int(self.use_camera) + int(self.use_lidar) + int(self.use_radar)
+
+    @property
+    def is_spatial(self) -> bool:
+        return self.fusion_type == "bev"
+
+    @property
+    def head_is_centernet(self) -> bool:
+        # MLP head is forced for non-spatial fusions (ref: fusion.py:1074-1088)
+        return self.is_spatial and self.detection_head == "centernet"
+
+    def modality_string(self) -> str:
+        mods = []
+        if self.use_camera:
+            mods.append("camera")
+        if self.use_lidar:
+            mods.append("lidar")
+        if self.use_radar:
+            mods.append("radar")
+        return "+".join(mods)
+
+    @staticmethod
+    def from_config(
+        cfg: Optional[Dict] = None,
+        modality_config: Optional[str] = None,
+        fusion_type: Optional[str] = None,
+        detection_head: Optional[str] = None,
+        num_classes: Optional[int] = None,
+    ) -> "DetectorSpec":
+        model = _get(cfg, "model", default={}) or {}
+        dataset = _get(cfg, "dataset", default={}) or {}
+
+        if modality_config is None:
+            modality_config = model.get("modality_config")
+        if modality_config is not None:
+            use_camera, use_lidar, use_radar = parse_modalities(modality_config)
+        else:
+            use_camera = model.get("use_camera", True)
+            use_lidar = model.get("use_lidar", True)
+            use_radar = model.get("use_radar", True)
+
+        cam_cfg = model.get("camera_encoder", {}) or {}
+        lid_cfg = model.get("lidar_encoder", {}) or {}
+        rad_cfg = model.get("radar_encoder", {}) or {}
+        bev_cfg = model.get("bev_fusion", {}) or {}
+        attn_cfg = model.get("attention_fusion", {}) or {}
+        late_cfg = model.get("late_fusion", {}) or {}
+        cn_cfg = model.get("centernet_head", {}) or {}
+        mlp_cfg = model.get("mlp_head", {}) or {}
+
+        n_classes = (
+            num_classes
+            if num_classes is not None
+            else dataset.get("num_classes", 10)
+        )
+
+        image_size = tuple(cam_cfg.get("input_size", (448, 800)))
+        max_lidar = dataset.get("max_points", {}).get(
+            "lidar", lid_cfg.get("max_points", 35000)
+        )
+        max_radar = dataset.get("max_points", {}).get(
+            "radar_per_sensor", rad_cfg.get("max_points_per_sensor", 125)
+        )
+
+        return DetectorSpec(
+            use_camera=use_camera,
+            use_lidar=use_lidar,
+            use_radar=use_radar,
+            fusion_type=(
+                fusion_type
+                if fusion_type is not None
+                else model.get("fusion_type", "bev")
+            ),
+            detection_head=(
+                detection_head
+                if detection_head is not None
+                else model.get("detection_head", "centernet")
+            ),
+            num_classes=n_classes,
+            camera=CameraEncoderSpec(
+                backbone=cam_cfg.get("backbone", "resnet18"),
+                pretrained=cam_cfg.get("pretrained", True),
+                freeze_bn=cam_cfg.get("freeze_bn", False),
+                out_channels=cam_cfg.get("output_channels", 512),
+                total_stride=cam_cfg.get("total_stride", 16),
+                image_size=image_size,
+            ),
+            lidar=LidarEncoderSpec(
+                encoder_type=lid_cfg.get("type", "PointNet"),
+                input_channels=lid_cfg.get("input_channels", 4),
+                feat_dim=lid_cfg.get("feature_dim", 1024),
+                max_points=max_lidar,
+                mlp_layers=tuple(
+                    lid_cfg.get("mlp_layers", (64, 128, 256, 512, 1024))
+                ),
+                use_batch_norm=lid_cfg.get("use_batch_norm", True),
+            ),
+            radar=RadarEncoderSpec(
+                input_channels=rad_cfg.get("input_channels", 7),
+                feat_dim=rad_cfg.get("feature_dim", 256),
+                num_radars=rad_cfg.get("num_radars", 5),
+                max_points_per_sensor=max_radar,
+                mlp_layers=tuple(rad_cfg.get("mlp_layers", (32, 64, 128, 256))),
+                fusion_method=rad_cfg.get("fusion_method", "concat"),
+                use_batch_norm=rad_cfg.get("use_batch_norm", True),
+            ),
+            bev=BEVFusionSpec(
+                bev_h=bev_cfg.get("bev_h", dataset.get("bev_h", 50)),
+                bev_w=bev_cfg.get("bev_w", dataset.get("bev_w", 50)),
+                bev_channels=bev_cfg.get("bev_channels", 256),
+                pc_range=tuple(
+                    dataset.get("point_cloud_range", DEFAULT_PC_RANGE)
+                ),
+                camera_to_bev=bev_cfg.get("camera_to_bev", "pseudo"),
+                depth_bins=bev_cfg.get("depth_bins", 40),
+                depth_min=bev_cfg.get("depth_min", 1.0),
+                depth_max=bev_cfg.get("depth_max", 60.0),
+            ),
+            attention=AttentionFusionSpec(
+                hidden_dim=attn_cfg.get("hidden_dim", 512),
+                num_heads=attn_cfg.get("num_heads", 8),
+                num_layers=attn_cfg.get("num_layers", 2),
+                dropout=attn_cfg.get("dropout", 0.1),
+                ffn_expansion=attn_cfg.get("ffn_expansion", 4),
+            ),
+            late=LateFusionSpec(
+                output_dim=late_cfg.get("output_dim", 512),
+                hidden_dim=(late_cfg.get("hidden_dims") or [1024])[0],
+                dropout=late_cfg.get("dropout", 0.3),
+            ),
+            centernet=CenterNetHeadSpec(
+                in_channels=cn_cfg.get(
+                    "in_channels", bev_cfg.get("bev_channels", 256)
+                ),
+                head_conv=cn_cfg.get("head_conv", 64),
+                num_classes=n_classes,
+                heatmap_threshold=cn_cfg.get("heatmap_threshold", 0.1),
+                max_detections=cn_cfg.get("max_detections", 100),
+            ),
+            mlp=MLPHeadSpec(
+                in_channels=mlp_cfg.get("in_channels", 512),
+                hidden_dim=(mlp_cfg.get("hidden_dims") or [256])[0],
+                num_classes=n_classes,
+                dropout=mlp_cfg.get("dropout", 0.1),
+            ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Data / training specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataSpec:
+    data_root: str = "data/nuscenes"
+    version: str = "v1.0-mini"
+    classes: Tuple[str, ...] = DEFAULT_CLASSES
+    pc_range: Tuple[float, ...] = DEFAULT_PC_RANGE
+    bev_h: int = 50
+    bev_w: int = 50
+    max_lidar_points: int = 35000
+    max_radar_points: int = 125
+    image_size: Tuple[int, int] = (448, 800)
+    num_cameras: int = 6
+    num_radars: int = 5
+    split_ratios: Tuple[float, float, float] = (0.7, 0.2, 0.1)
+    image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+    @staticmethod
+    def from_config(cfg: Optional[Dict]) -> "DataSpec":
+        d = _get(cfg, "dataset", default={}) or {}
+        ratios = d.get("split_ratios", {}) or {}
+        aug_norm = _get(
+            d, "augmentation", "camera", "normalize", default={}
+        ) or {}
+        return DataSpec(
+            data_root=d.get("data_root", "data/nuscenes"),
+            version=d.get("version", "v1.0-mini"),
+            classes=tuple(d.get("classes", DEFAULT_CLASSES)),
+            pc_range=tuple(d.get("point_cloud_range", DEFAULT_PC_RANGE)),
+            bev_h=d.get("bev_h", 50),
+            bev_w=d.get("bev_w", 50),
+            max_lidar_points=_get(d, "max_points", "lidar", default=35000),
+            max_radar_points=_get(
+                d, "max_points", "radar_per_sensor", default=125
+            ),
+            image_size=tuple(
+                _get(d, "cameras", "image_size", default=(448, 800))
+            ),
+            num_cameras=_get(d, "cameras", "num_cameras", default=6),
+            num_radars=_get(d, "radars", "num_radars", default=5),
+            split_ratios=(
+                ratios.get("train", 0.7),
+                ratios.get("val", 0.2),
+                ratios.get("test", 0.1),
+            ),
+            image_mean=tuple(aug_norm.get("mean", (0.485, 0.456, 0.406))),
+            image_std=tuple(aug_norm.get("std", (0.229, 0.224, 0.225))),
+        )
+
+
+@dataclass(frozen=True)
+class TrainSpec:
+    num_epochs: int = 2
+    batch_size: int = 4
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    grad_clip_norm: float = 10.0
+    grad_clip_enable: bool = True
+    # Loss weights. NOTE: the reference DECLARES train.loss_weights in YAML but
+    # never reads it (train_detect.py:739 constructs CenterNetLoss with no
+    # args) — quirk Q7. We honor the constructor defaults
+    # (centernet_target.py:460-466) unless compat.constant_lr-style override.
+    loss_weights: Tuple[float, float, float, float, float] = (
+        1.0,
+        1.0,
+        1.0,
+        1.0,
+        0.1,
+    )  # (heatmap, offset, size, rot, vel)
+    # LR schedule (only applied when compat.constant_lr=False; Q6)
+    lr_schedule: str = "cosine"
+    lr_t_max: int = 50
+    lr_eta_min: float = 1e-6
+    warmup_epochs: int = 0
+    save_dir: str = "./checkpoints"
+    save_interval: int = 5
+    save_best: bool = True
+    seed: int = 42
+    max_objects: int = 500
+    resume_enable: bool = False
+    resume_path: Optional[str] = None
+
+    @staticmethod
+    def from_config(cfg: Optional[Dict]) -> "TrainSpec":
+        t = _get(cfg, "train", default={}) or {}
+        opt = t.get("optimizer", {}) or {}
+        sched = t.get("lr_scheduler", {}) or {}
+        clip = t.get("grad_clip", {}) or {}
+        ckpt = t.get("checkpoint", {}) or {}
+        resume = t.get("resume", {}) or {}
+        return TrainSpec(
+            num_epochs=t.get("num_epochs", 2),
+            batch_size=t.get("batch_size", 4),
+            learning_rate=opt.get("lr", t.get("learning_rate", 1e-4)),
+            weight_decay=opt.get(
+                "weight_decay", t.get("weight_decay", 0.01)
+            ),
+            betas=tuple(opt.get("betas", (0.9, 0.999))),
+            eps=opt.get("eps", 1e-8),
+            grad_clip_norm=clip.get("max_norm", 10.0),
+            grad_clip_enable=clip.get("enable", True),
+            lr_schedule=(
+                "cosine"
+                if sched.get("type", "CosineAnnealingLR")
+                == "CosineAnnealingLR"
+                else "constant"
+            ),
+            lr_t_max=sched.get("T_max", 50),
+            lr_eta_min=sched.get("eta_min", 1e-6),
+            save_dir=ckpt.get("save_dir", "./checkpoints"),
+            save_interval=ckpt.get("save_interval", 5),
+            save_best=ckpt.get("save_best", True),
+            seed=_get(cfg, "seed", default=42),
+            resume_enable=resume.get("enable", False),
+            resume_path=resume.get("checkpoint_path"),
+        )
+
+
+@dataclass(frozen=True)
+class ParallelSpec:
+    """TPU parallelism config — a first-class capability the reference lacks
+    (its hardware.gpu.distributed stub is never read; configs/base.yaml:617-624).
+
+    The mesh is (data, view): batch is sharded over `data`; the 6-camera axis
+    can additionally be sharded over `view` for the camera encoder.
+    """
+
+    data_parallel: int = 1
+    view_parallel: int = 1
+
+    @staticmethod
+    def from_config(cfg: Optional[Dict]) -> "ParallelSpec":
+        p = _get(cfg, "parallel", default={}) or {}
+        return ParallelSpec(
+            data_parallel=p.get("data_parallel", 1),
+            view_parallel=p.get("view_parallel", 1),
+        )

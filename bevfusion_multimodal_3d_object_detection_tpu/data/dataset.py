@@ -1,0 +1,427 @@
+"""Input pipeline: pickle-info dataset, collate to fixed-shape numpy batches.
+
+Re-design of the reference dataset/loader (ref: train_detect.py:34-242) with
+TPU-friendly STATIC shapes end-to-end:
+
+- images: PIL decode + bilinear resize + ImageNet normalize, emitted NHWC
+  (B, N_cam, H, W, 3) (ref: train_detect.py:123-145);
+- LiDAR: .bin read, range filter, pad-or-random-subsample to `max_points`
+  (ref: train_detect.py:147-161, 181-189). Quirk Q5: the reference parses the
+  5-float nuScenes stream as 4 floats/point (train_detect.py:151) —
+  reproduced by default, correct parse behind `lidar_four_float_parse=False`;
+- radar: quirk Q4 — the reference substitutes np.random.randn dummy points
+  (train_detect.py:173-177); reproduced by default. With
+  `random_radar_points=False` a minimal binary-PCD reader parses the real
+  nuScenes radar files ([x, y, z, vx, vy, rcs, t] channels), zero-padded;
+- GT: boxes/labels/velocities padded to a FIXED `max_objects` (vs. the
+  reference's pad-to-batch-max, train_detect.py:209-233, which is
+  jit-hostile), label -1 padding.
+
+`SyntheticNuScenesDataset` generates config-shaped random samples with
+plantable GT boxes — the executable-test vehicle (the reference itself proves
+the pipeline on random tensors, encoders.py:828-843, train_detect.py:175).
+"""
+
+from __future__ import annotations
+
+import pickle
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import CAMERA_ORDER, RADAR_ORDER, DEFAULT_CLASSES, CompatFlags, DataSpec
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _load_image(path: Path, h: int, w: int) -> np.ndarray:
+    """PIL decode + bilinear resize + [0,1] + ImageNet normalize -> (H, W, 3)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((w, h), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def read_radar_pcd(path: Path, max_points: int) -> np.ndarray:
+    """Minimal nuScenes radar .pcd reader -> (max_points, 7) float32
+    [x, y, z, vx, vy, rcs, t(=0)]; zero-padded / truncated.
+
+    The reference never parses radar files (quirk Q4); this is the corrected
+    path. Returns zeros on any parse failure.
+    """
+    out = np.zeros((max_points, 7), np.float32)
+    try:
+        raw = path.read_bytes()
+        header_end = raw.index(b"DATA binary\n") + len(b"DATA binary\n")
+        header = raw[:header_end].decode("ascii", "ignore").splitlines()
+        fields: List[str] = []
+        sizes: List[int] = []
+        types: List[str] = []
+        count = 0
+        for line in header:
+            if line.startswith("FIELDS"):
+                fields = line.split()[1:]
+            elif line.startswith("SIZE"):
+                sizes = [int(v) for v in line.split()[1:]]
+            elif line.startswith("TYPE"):
+                types = line.split()[1:]
+            elif line.startswith("POINTS"):
+                count = int(line.split()[1])
+        if not fields or count == 0:
+            return out
+        fmt_map = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1",
+                   ("I", 2): "i2", ("I", 4): "i4", ("U", 1): "u1",
+                   ("U", 2): "u2", ("U", 4): "u4"}
+        dtype = np.dtype(
+            [
+                (name, fmt_map[(t, s)])
+                for name, t, s in zip(fields, types, sizes)
+            ]
+        )
+        pts = np.frombuffer(
+            raw[header_end : header_end + count * dtype.itemsize], dtype=dtype
+        )
+        wanted = ["x", "y", "z", "vx", "vy", "rcs"]
+        n = min(len(pts), max_points)
+        for ci, name in enumerate(wanted):
+            if name in pts.dtype.names:
+                out[:n, ci] = pts[name][:n].astype(np.float32)
+        return out
+    except Exception:
+        return out
+
+
+class NuScenesDataset:
+    """Pickle-backed dataset (same `nuscenes_infos_{split}.pkl` schema as the
+    reference converter, ref: data_converter.py:140-161, 336-356)."""
+
+    def __init__(
+        self,
+        data_root: str = "./data/nuscenes",
+        split: str = "train",
+        max_points: int = 35000,
+        max_radar_points: int = 125,
+        image_size=(448, 800),
+        max_objects: int = 500,
+        classes=DEFAULT_CLASSES,
+        pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        compat: CompatFlags = CompatFlags(),
+        config: Optional[Dict] = None,
+        seed: Optional[int] = None,
+        return_camera_cells: bool = False,
+        bev_h: int = 50,
+        bev_w: int = 50,
+        depth_bins: int = 40,
+        depth_min: float = 1.0,
+        depth_max: float = 60.0,
+    ):
+        if config is not None:
+            ds = DataSpec.from_config(config)
+            data_root = ds.data_root
+            max_points = ds.max_lidar_points
+            max_radar_points = ds.max_radar_points
+            image_size = ds.image_size
+            classes = ds.classes
+            pc_range = ds.pc_range
+            compat = CompatFlags.from_config(config)
+
+        self.data_root = Path(data_root)
+        self.split = split
+        self.max_points = max_points
+        self.max_radar_points = max_radar_points
+        self.image_size = tuple(image_size)
+        self.max_objects = max_objects
+        self.classes = list(classes)
+        self.pc_range = tuple(pc_range)
+        self.compat = compat
+        self.rng = np.random.RandomState(seed)
+        self.return_camera_cells = return_camera_cells
+        self.bev_h, self.bev_w = bev_h, bev_w
+        self.depth_bins = depth_bins
+        self.depth_min, self.depth_max = depth_min, depth_max
+
+        pkl_path = self.data_root / f"nuscenes_infos_{split}.pkl"
+        with open(pkl_path, "rb") as f:
+            data = pickle.load(f)
+        self.infos = data["infos"]
+        meta_classes = data.get("metadata", {}).get("classes")
+        if meta_classes:
+            self.classes = list(meta_classes)
+        print(f"Loaded {len(self.infos)} samples for {split} split")
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    def _encode_labels(self, names) -> np.ndarray:
+        label_map = {n: i for i, n in enumerate(self.classes)}
+        return np.array(
+            [label_map.get(n, -1) for n in names], dtype=np.int64
+        )
+
+    def _load_cameras(self, info) -> np.ndarray:
+        h, w = self.image_size
+        imgs = [
+            _load_image(self.data_root / info["cams"][cam]["filename"], h, w)
+            for cam in CAMERA_ORDER
+        ]
+        return np.stack(imgs)  # (6, H, W, 3)
+
+    def _load_lidar(self, info) -> np.ndarray:
+        raw = np.fromfile(str(info["lidar_path"]), dtype=np.float32)
+        if self.compat.lidar_four_float_parse:
+            # Q5: misaligned 4-float parse, reproducing the reference
+            pts = raw[: (raw.size // 4) * 4].reshape(-1, 4)
+        else:
+            pts = raw[: (raw.size // 5) * 5].reshape(-1, 5)[:, :4]
+        x0, y0, z0, x1, y1, z1 = self.pc_range
+        m = (
+            (pts[:, 0] > x0) & (pts[:, 0] < x1)
+            & (pts[:, 1] > y0) & (pts[:, 1] < y1)
+            & (pts[:, 2] > z0) & (pts[:, 2] < z1)
+        )
+        return self._pad_or_subsample(pts[m], self.max_points)
+
+    def _load_radars(self, info) -> np.ndarray:
+        out = []
+        for radar in RADAR_ORDER:
+            if self.compat.random_radar_points:
+                # Q4: dummy gaussian points (ref: train_detect.py:173-177)
+                out.append(
+                    self.rng.randn(self.max_radar_points, 7).astype(np.float32)
+                )
+            else:
+                path = self.data_root / info["radars"][radar]["filename"]
+                out.append(read_radar_pcd(path, self.max_radar_points))
+        return np.stack(out)  # (5, Nr, 7)
+
+    def _pad_or_subsample(self, pts: np.ndarray, n: int) -> np.ndarray:
+        if pts.shape[0] >= n:
+            idx = self.rng.choice(pts.shape[0], n, replace=False)
+            return pts[idx].astype(np.float32)
+        pad = np.zeros((n - pts.shape[0], pts.shape[1]), np.float32)
+        return np.concatenate([pts.astype(np.float32), pad], axis=0)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        info = self.infos[idx]
+        gt_boxes = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 7)
+        gt_labels = self._encode_labels(info["gt_names"])
+        gt_vel = np.asarray(info["gt_velocity"], np.float32).reshape(-1, 2)
+        sample = {
+            "camera_imgs": self._load_cameras(info),
+            "lidar_points": self._load_lidar(info),
+            "radar_points": self._load_radars(info),
+            "gt_boxes": gt_boxes,
+            "gt_labels": gt_labels,
+            "gt_velocities": gt_vel,
+            "token": info["token"],
+        }
+        if self.return_camera_cells:
+            sample["camera_cells"] = self._frustum_cells(info)
+        return sample
+
+    def _frustum_cells(self, info) -> np.ndarray:
+        """(N_cam, D, H', W') precomputed BEV cell ids for the geometric
+        camera-to-BEV path (ops.bev_splat.precompute_frustum_cells); -1 for
+        out-of-range frustum points."""
+        from ..ops.bev_splat import precompute_frustum_cells
+        from .converter import quat_inverse, quat_rotation_matrix
+
+        h, w = self.image_size
+        fh, fw = h // 16, w // 16  # camera encoder stride
+        depths = np.linspace(
+            self.depth_min, self.depth_max, self.depth_bins
+        )
+        lc = info["lidar_calibrated_sensor"]
+        lidar_rot = quat_rotation_matrix(lc["rotation"])  # lidar->ego
+        lidar_trans = np.asarray(lc["translation"], np.float64)
+        out = []
+        for cam in CAMERA_ORDER:
+            cs = info["cams"][cam]["calibrated_sensor"]
+            intr = np.asarray(cs["camera_intrinsic"], np.float64)
+            cam_rot = quat_rotation_matrix(cs["rotation"])  # cam->ego
+            cam_trans = np.asarray(cs["translation"], np.float64)
+            # cam->lidar = inv(lidar->ego) . (cam->ego)
+            rot = lidar_rot.T @ cam_rot
+            trans = lidar_rot.T @ (cam_trans - lidar_trans)
+            # scale intrinsics from original image resolution to the
+            # resized input (nuScenes cameras are 1600x900)
+            scale = np.diag([w / 1600.0, h / 900.0, 1.0])
+            out.append(
+                precompute_frustum_cells(
+                    scale @ intr, rot, trans,
+                    feat_hw=(fh, fw), image_hw=(h, w),
+                    depth_bins=depths, bev_hw=(self.bev_h, self.bev_w),
+                    pc_range=self.pc_range,
+                )
+            )
+        return np.stack(out)
+
+
+class SyntheticNuScenesDataset:
+    """Config-shaped random dataset for tests and benchmarks (no files)."""
+
+    def __init__(
+        self,
+        num_samples: int = 8,
+        image_size=(448, 800),
+        max_points: int = 35000,
+        max_radar_points: int = 125,
+        num_cameras: int = 6,
+        num_radars: int = 5,
+        max_gt: int = 12,
+        num_classes: int = 10,
+        pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        seed: int = 0,
+    ):
+        self.num_samples = num_samples
+        self.image_size = tuple(image_size)
+        self.max_points = max_points
+        self.max_radar_points = max_radar_points
+        self.num_cameras = num_cameras
+        self.num_radars = num_radars
+        self.max_gt = max_gt
+        self.num_classes = num_classes
+        self.pc_range = pc_range
+        self.seed = seed
+        self.classes = list(DEFAULT_CLASSES)[:num_classes]
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        h, w = self.image_size
+        n_gt = rng.randint(1, self.max_gt + 1)
+        x0, y0, _, x1, y1, _ = self.pc_range
+        boxes = np.zeros((n_gt, 7), np.float32)
+        boxes[:, 0] = rng.uniform(x0 * 0.9, x1 * 0.9, n_gt)
+        boxes[:, 1] = rng.uniform(y0 * 0.9, y1 * 0.9, n_gt)
+        boxes[:, 2] = rng.uniform(-2.0, 0.5, n_gt)
+        boxes[:, 3:6] = rng.uniform(0.5, 6.0, (n_gt, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n_gt)
+        return {
+            "camera_imgs": rng.randn(self.num_cameras, h, w, 3).astype(
+                np.float32
+            ),
+            "lidar_points": rng.randn(self.max_points, 4).astype(np.float32),
+            "radar_points": rng.randn(
+                self.num_radars, self.max_radar_points, 7
+            ).astype(np.float32),
+            "gt_boxes": boxes,
+            "gt_labels": rng.randint(0, self.num_classes, n_gt).astype(
+                np.int64
+            ),
+            "gt_velocities": np.zeros((n_gt, 2), np.float32),
+            "token": f"synthetic_{idx}",
+        }
+
+
+def collate_fn(
+    samples: List[Dict[str, np.ndarray]], max_objects: int = 500
+) -> Dict[str, np.ndarray]:
+    """Stack samples into a fixed-shape batch. GT padded to `max_objects`
+    (label -1), replacing the reference's pad-to-batch-max
+    (ref: train_detect.py:197-242) with jit-static shapes."""
+    batch_size = len(samples)
+    out: Dict[str, np.ndarray] = {
+        "camera_imgs": np.stack([s["camera_imgs"] for s in samples]),
+        "lidar_points": np.stack([s["lidar_points"] for s in samples]),
+        "radar_points": np.stack([s["radar_points"] for s in samples]),
+    }
+    if "camera_cells" in samples[0]:
+        out["camera_cells"] = np.stack([s["camera_cells"] for s in samples])
+    gt_boxes = np.zeros((batch_size, max_objects, 7), np.float32)
+    gt_labels = np.full((batch_size, max_objects), -1, np.int64)
+    gt_vel = np.zeros((batch_size, max_objects, 2), np.float32)
+    for i, s in enumerate(samples):
+        n = min(len(s["gt_labels"]), max_objects)
+        gt_boxes[i, :n] = s["gt_boxes"][:n]
+        gt_labels[i, :n] = s["gt_labels"][:n]
+        gt_vel[i, :n] = s["gt_velocities"][:n]
+    out["gt_boxes"] = gt_boxes
+    out["gt_labels"] = gt_labels
+    out["gt_velocities"] = gt_vel
+    out["tokens"] = [s["token"] for s in samples]
+    return out
+
+
+class DataLoader:
+    """Minimal batching iterator with optional background prefetch.
+
+    The reference relies on torch DataLoader worker processes
+    (train_detect.py:685-701); here a single prefetch thread overlaps host
+    decode with device compute (the device step is async-dispatched anyway).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        max_objects: int = 500,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.max_objects = max_objects
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        if self.prefetch <= 0:
+            for b in batches:
+                yield collate_fn(
+                    [self.dataset[int(i)] for i in b], self.max_objects
+                )
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(
+                        collate_fn(
+                            [self.dataset[int(i)] for i in b],
+                            self.max_objects,
+                        )
+                    )
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

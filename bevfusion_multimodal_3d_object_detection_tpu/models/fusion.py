@@ -1,0 +1,406 @@
+"""Fusion modules (flax/linen, NHWC): BEV, attention, and late fusion.
+
+Re-designs of the reference fusion layer (ref: /root/reference/src/fusion.py):
+
+- `FlexibleBEVFusion`       (ref: fusion.py:46-327)  — pseudo-BEV projection of
+  each active modality to a (bev_h, bev_w) grid, concat + 2-conv fuse.
+- `FlexibleAttentionFusion` (ref: fusion.py:461-642) — one token per modality,
+  2 post-norm self-attention blocks, mean-pool + MLP.
+- `FlexibleLateFusion`      (ref: fusion.py:649-781) — global pool + concat +
+  MLP.
+- `SpatialReshaper`         (ref: fusion.py:333-388) — dormant in the
+  reference (call site commented out, fusion.py:1128-1133); provided for API
+  parity.
+
+Bilinear resizes use `jax.image.resize` (half-pixel centers == torch
+`align_corners=False`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    AttentionFusionSpec,
+    BEVFusionSpec,
+    LateFusionSpec,
+)
+
+
+def _conv_bn_relu(x, ch, kernel, name, dtype, train):
+    x = nn.Conv(
+        ch,
+        (kernel, kernel),
+        padding=((kernel // 2, kernel // 2), (kernel // 2, kernel // 2)),
+        dtype=dtype,
+        name=f"{name}_conv",
+    )(x)
+    x = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, name=f"{name}_bn",
+    )(x)
+    return nn.relu(x)
+
+
+def bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """NHWC bilinear resize with half-pixel centers (== align_corners=False)."""
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[3]), method="linear"
+    ).astype(x.dtype)
+
+
+class GeometricCameraBEV(nn.Module):
+    """Lift-splat camera-to-BEV (the geometric upgrade path; the reference has
+    no geometry in its camera branch).
+
+    Per camera: a small depth head predicts a distribution over D metric depth
+    bins; image features weighted by those probabilities are scatter-added
+    into their precomputed BEV cells (`ops.bev_splat`), then summed over
+    cameras. `camera_cells` comes from `precompute_frustum_cells` per sample
+    (calibration-dependent, content-independent).
+    """
+
+    spec: BEVFusionSpec = BEVFusionSpec()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, camera_features, camera_cells, train: bool = False):
+        from ..ops.bev_splat import bev_scatter_add
+
+        s = self.spec
+        b, n, fh, fw, c = camera_features.shape
+        d = s.depth_bins
+        flat = camera_features.reshape(b * n, fh, fw, c)
+        depth_logits = nn.Conv(
+            d, (1, 1), dtype=self.dtype, name="depth_head"
+        )(flat)
+        feat = nn.Conv(
+            s.bev_channels, (1, 1), dtype=self.dtype, name="feat_proj"
+        )(flat)
+        probs = jax.nn.softmax(depth_logits, axis=-1)
+        lifted = jnp.einsum(
+            "xhwc,xhwd->xdhwc", feat, probs
+        ).reshape(b * n, d * fh * fw, s.bev_channels)
+        cells = camera_cells.reshape(b * n, d * fh * fw)
+        bev = bev_scatter_add(lifted, cells, s.bev_h * s.bev_w)
+        bev = bev.reshape(b, n, s.bev_h, s.bev_w, s.bev_channels).sum(axis=1)
+        return _conv_bn_relu(
+            bev, s.bev_channels, 3, "splat_refine", self.dtype, train
+        )
+
+
+class FlexibleBEVFusion(nn.Module):
+    """BEV fusion with flexible modality selection (ref: fusion.py:46-327).
+
+    Inputs (any may be None):
+      camera_features: (B, N_cam, H', W', C_cam) or (B, H', W', C_cam)
+      lidar_features:  (B, C_lidar) global vector
+      radar_features:  (B, C_radar) global vector
+      camera_cells:    (B, N_cam, D, H', W') int32 precomputed frustum cells
+                       (only for spec.camera_to_bev == 'geometric')
+    Output: (B, bev_h, bev_w, bev_channels).
+    """
+
+    spec: BEVFusionSpec = BEVFusionSpec()
+    use_camera: bool = True
+    use_lidar: bool = True
+    use_radar: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def num_modalities(self) -> int:
+        return int(self.use_camera) + int(self.use_lidar) + int(self.use_radar)
+
+    @nn.compact
+    def __call__(
+        self,
+        camera_features: Optional[jnp.ndarray] = None,
+        lidar_features: Optional[jnp.ndarray] = None,
+        radar_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        camera_cells: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        s = self.spec
+        bev_feats = []
+
+        if self.use_camera and camera_features is not None:
+            if (
+                s.camera_to_bev == "geometric"
+                and camera_cells is not None
+                and camera_features.ndim == 5
+            ):
+                cam = GeometricCameraBEV(
+                    spec=s, dtype=self.dtype, name="geometric_camera_bev"
+                )(camera_features, camera_cells, train=train)
+                bev_feats.append(cam)
+            else:
+                # reference parity: mean over cameras + conv + resize
+                cam = camera_features
+                if cam.ndim == 5:  # (ref: fusion.py:233-236)
+                    cam = jnp.mean(cam, axis=1)
+                cam = _conv_bn_relu(
+                    cam, 512, 3, "camera_proj1", self.dtype, train
+                )
+                cam = _conv_bn_relu(
+                    cam, s.bev_channels, 1, "camera_proj2", self.dtype, train
+                )
+                cam = bilinear_resize(cam, s.bev_h, s.bev_w)
+                bev_feats.append(cam)
+
+        if self.use_lidar and lidar_features is not None:
+            hid, start = s.lidar_hidden_dim, s.lidar_start_size
+            # Linear 1024->512->hid*start*start (ref: fusion.py:144-148)
+            y = nn.Dense(512, dtype=self.dtype, name="lidar_init1")(
+                lidar_features
+            )
+            y = nn.relu(y)
+            y = nn.Dense(
+                hid * start * start, dtype=self.dtype, name="lidar_init2"
+            )(y)
+            y = y.reshape(y.shape[0], hid, start, start)  # channel-first like ref
+            y = jnp.transpose(y, (0, 2, 3, 1))  # -> NHWC
+            # conv + BN + ReLU + x2 upsample, then final proj conv
+            # (ref: fusion.py:151-174)
+            y = _conv_bn_relu(y, hid, 3, "lidar_up1", self.dtype, train)
+            y = bilinear_resize(y, start * 2, start * 2)
+            y = _conv_bn_relu(
+                y, s.bev_channels, 3, "lidar_up2", self.dtype, train
+            )
+            y = bilinear_resize(y, s.bev_h, s.bev_w)
+            bev_feats.append(y)
+
+        if self.use_radar and radar_features is not None:
+            r = nn.Dense(s.bev_channels, dtype=self.dtype, name="radar_proj")(
+                radar_features
+            )
+            r = nn.relu(r)
+            # broadcast the global vector over the grid (ref: fusion.py:277-278)
+            r = jnp.broadcast_to(
+                r[:, None, None, :],
+                (r.shape[0], s.bev_h, s.bev_w, s.bev_channels),
+            )
+            r = _conv_bn_relu(
+                r, s.bev_channels, 3, "radar_refine1", self.dtype, train
+            )
+            r = _conv_bn_relu(
+                r, s.bev_channels, 3, "radar_refine2", self.dtype, train
+            )
+            bev_feats.append(r)
+
+        if not bev_feats:
+            raise ValueError("No modality features provided")
+
+        x = jnp.concatenate(bev_feats, axis=-1)
+        # 2-layer fusion conv, width adapts to modality count
+        # (ref: fusion.py:198-207)
+        x = _conv_bn_relu(
+            x, s.bev_channels * 2, 3, "bev_fusion1", self.dtype, train
+        )
+        x = _conv_bn_relu(
+            x, s.bev_channels, 3, "bev_fusion2", self.dtype, train
+        )
+        return x
+
+
+class SpatialReshaper(nn.Module):
+    """Broadcast a (B, C) global vector to (B, H, W, C) + conv refine
+    (ref: fusion.py:333-388; dormant in the reference)."""
+
+    output_channels: int = 512
+    bev_h: int = 50
+    bev_w: int = 50
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim == 4:
+            return x
+        x = nn.Dense(self.output_channels, dtype=self.dtype, name="proj")(x)
+        x = jnp.broadcast_to(
+            x[:, None, None, :],
+            (x.shape[0], self.bev_h, self.bev_w, self.output_channels),
+        )
+        x = _conv_bn_relu(x, self.output_channels, 3, "refine1", self.dtype, train)
+        x = _conv_bn_relu(x, self.output_channels, 3, "refine2", self.dtype, train)
+        return x
+
+
+class CrossModalAttention(nn.Module):
+    """Multi-head attention with explicit QKV projections
+    (ref: fusion.py:391-458)."""
+
+    dim: int
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, mask=None, train: bool = False):
+        b, n_q, _ = query.shape
+        head_dim = self.dim // self.num_heads
+
+        q = nn.Dense(self.dim, dtype=self.dtype, name="query")(query)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="key")(key)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value")(value)
+
+        def split(t):
+            return t.reshape(b, -1, self.num_heads, head_dim).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+        if mask is not None:
+            scores = jnp.where(mask == 0, -1e9, scores)
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_q, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
+
+
+class FlexibleAttentionFusion(nn.Module):
+    """Token-per-modality transformer fusion (ref: fusion.py:461-642).
+
+    Inputs as in `FlexibleBEVFusion`. Output: (B, hidden_dim) global feature.
+    """
+
+    spec: AttentionFusionSpec = AttentionFusionSpec()
+    use_camera: bool = True
+    use_lidar: bool = True
+    use_radar: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        camera_features: Optional[jnp.ndarray] = None,
+        lidar_features: Optional[jnp.ndarray] = None,
+        radar_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        s = self.spec
+        tokens = []
+
+        def pos_embed(name):
+            return self.param(
+                name, nn.initializers.normal(1.0), (1, 1, s.hidden_dim)
+            )
+
+        if self.use_camera and camera_features is not None:
+            # pool camera + spatial axes (ref: fusion.py:590-596)
+            cam = camera_features
+            if cam.ndim == 5:
+                cam = jnp.mean(cam, axis=(1, 2, 3))  # (B, C)
+            else:
+                cam = jnp.mean(cam, axis=(1, 2))
+            tok = nn.Dense(s.hidden_dim, dtype=self.dtype, name="camera_proj")(
+                cam
+            )[:, None, :]
+            tokens.append(tok + pos_embed("cam_pos_embed"))
+
+        if self.use_lidar and lidar_features is not None:
+            tok = nn.Dense(s.hidden_dim, dtype=self.dtype, name="lidar_proj")(
+                lidar_features
+            )[:, None, :]
+            tokens.append(tok + pos_embed("lidar_pos_embed"))
+
+        if self.use_radar and radar_features is not None:
+            tok = nn.Dense(s.hidden_dim, dtype=self.dtype, name="radar_proj")(
+                radar_features
+            )[:, None, :]
+            tokens.append(tok + pos_embed("radar_pos_embed"))
+
+        if not tokens:
+            raise ValueError("No modality features provided")
+
+        x = jnp.concatenate(tokens, axis=1)  # (B, M, hidden)
+
+        for layer in range(s.num_layers):
+            attn_out = CrossModalAttention(
+                dim=s.hidden_dim,
+                num_heads=s.num_heads,
+                dropout=s.dropout,
+                dtype=self.dtype,
+                name=f"self_attn_{layer}",
+            )(x, x, x, train=train)
+            x = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{layer}")(
+                x + attn_out
+            )
+            y = nn.Dense(
+                s.hidden_dim * s.ffn_expansion,
+                dtype=self.dtype,
+                name=f"ffn1_{layer}",
+            )(x)
+            y = nn.relu(y)
+            y = nn.Dropout(s.dropout, deterministic=not train)(y)
+            y = nn.Dense(s.hidden_dim, dtype=self.dtype, name=f"ffn2_{layer}")(
+                y
+            )
+            y = nn.Dropout(s.dropout, deterministic=not train)(y)
+            x = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{layer}")(x + y)
+
+        fused = jnp.mean(x, axis=1)  # (B, hidden)
+        fused = nn.Dense(s.hidden_dim, dtype=self.dtype, name="out_proj1")(
+            fused
+        )
+        fused = nn.relu(fused)
+        fused = nn.Dropout(s.dropout, deterministic=not train)(fused)
+        fused = nn.Dense(s.hidden_dim, dtype=self.dtype, name="out_proj2")(
+            fused
+        )
+        return fused
+
+
+class FlexibleLateFusion(nn.Module):
+    """Concat-pooled-features + MLP fusion (ref: fusion.py:649-781).
+
+    Output: (B, output_dim).
+    """
+
+    spec: LateFusionSpec = LateFusionSpec()
+    use_camera: bool = True
+    use_lidar: bool = True
+    use_radar: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        camera_features: Optional[jnp.ndarray] = None,
+        lidar_features: Optional[jnp.ndarray] = None,
+        radar_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        feats = []
+        if self.use_camera and camera_features is not None:
+            cam = camera_features
+            if cam.ndim == 5:
+                cam = jnp.mean(cam, axis=(1, 2, 3))
+            else:
+                cam = jnp.mean(cam, axis=(1, 2))
+            feats.append(cam)
+        if self.use_lidar and lidar_features is not None:
+            feats.append(lidar_features)
+        if self.use_radar and radar_features is not None:
+            feats.append(radar_features)
+        if not feats:
+            raise ValueError("No modality features provided")
+
+        x = jnp.concatenate(feats, axis=-1)
+        # MLP: total -> hidden -> output (ref: fusion.py:725-732)
+        x = nn.Dense(self.spec.hidden_dim, dtype=self.dtype, name="fusion1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.spec.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.spec.output_dim, dtype=self.dtype, name="fusion2")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return x

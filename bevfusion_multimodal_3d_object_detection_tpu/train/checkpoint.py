@@ -1,0 +1,54 @@
+"""Checkpoint I/O: fast single-file msgpack (default) or orbax (optional).
+
+The reference checkpoints `{epoch, model_state_dict, optimizer_state_dict,
+config}` via torch.save every `save_interval` epochs and on best-mAP
+(ref: train_detect.py:768-793) and loads with strict=False (eval.py:211).
+Here the same payload (params + batch_stats + opt_state + step/epoch/best)
+is serialized with flax msgpack; `backend='orbax'` switches to orbax for
+multi-host / sharded use.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import flax.serialization as fser
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "msgpack") -> None:
+    p = Path(path)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(p.absolute(), payload, force=True)
+        return
+    p.parent.mkdir(parents=True, exist_ok=True)
+    # to_state_dict converts tuples (e.g. optax chain states) into
+    # msgpack-serializable nested dicts
+    data = fser.msgpack_serialize(
+        fser.to_state_dict(_to_numpy_tree(payload))
+    )
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.replace(p)
+
+
+def load_checkpoint(path: str, template: Dict[str, Any], backend: str = "msgpack") -> Dict[str, Any]:
+    p = Path(path)
+    if backend == "orbax" or p.is_dir():
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(p.absolute(), template)
+    raw = fser.msgpack_restore(p.read_bytes())
+    restored = fser.from_state_dict(template, raw)
+    return jax.tree_util.tree_map(jnp.asarray, restored)

@@ -1,0 +1,353 @@
+"""Training/eval loops: one jitted `train_step` (forward + targets + loss +
+grad + AdamW + clip) and a jitted `eval_step` (forward + decode).
+
+Replaces the reference's per-batch Python orchestration
+(ref: train_detect.py:381-498 train_one_epoch, :500-588 evaluate) with fully
+on-device steps:
+
+- target assignment happens INSIDE the jitted step (vectorized; no host loop),
+- optax AdamW (lr 1e-4, wd 0.01, betas (0.9, 0.999)) + global-norm clip 10.0
+  (ref: train_detect.py:725-729, 432),
+- quirk Q6: the reference constructs CosineAnnealingLR but never steps it
+  (train_detect.py:731-735 vs 796-809) so the LR is constant; honored via
+  `compat.constant_lr` (cosine schedule available when False),
+- checkpointing via orbax (model + optimizer + step) with an actually working
+  resume (the reference's `train.resume` block is never read; SURVEY §5).
+
+Data parallelism: pass a `Mesh`; the batch is sharded over 'data', params are
+replicated, and jit inserts the gradient reductions over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import CompatFlags, DetectorSpec, TrainSpec
+from ..models import MultiModal3DDetector
+from ..ops.decode import decode_centernet_predictions, decode_to_host
+from ..ops.losses import centernet_loss, detection_loss, prepare_mlp_targets
+from ..ops.targets import prepare_centernet_targets
+from ..utils.metrics import compute_metrics
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(train_spec: TrainSpec, compat: CompatFlags, steps_per_epoch: int = 1):
+    if compat.constant_lr or train_spec.lr_schedule == "constant":
+        lr = train_spec.learning_rate
+    else:
+        # CosineAnnealingLR over T_max epochs (corrected Q6 path)
+        lr = optax.cosine_decay_schedule(
+            init_value=train_spec.learning_rate,
+            decay_steps=max(1, train_spec.lr_t_max * steps_per_epoch),
+            alpha=train_spec.lr_eta_min / train_spec.learning_rate,
+        )
+    tx = optax.adamw(
+        learning_rate=lr,
+        b1=train_spec.betas[0],
+        b2=train_spec.betas[1],
+        eps=train_spec.eps,
+        weight_decay=train_spec.weight_decay,
+    )
+    if train_spec.grad_clip_enable:
+        tx = optax.chain(
+            optax.clip_by_global_norm(train_spec.grad_clip_norm), tx
+        )
+    return tx
+
+
+def _model_inputs(spec: DetectorSpec, batch: Dict):
+    return (
+        batch["camera_imgs"] if spec.use_camera else None,
+        batch["lidar_points"] if spec.use_lidar else None,
+        batch["radar_points"] if spec.use_radar else None,
+    )
+
+
+def _model_kwargs(spec: DetectorSpec, batch: Dict):
+    kwargs = {}
+    if spec.use_camera and "camera_cells" in batch:
+        kwargs["camera_cells"] = batch["camera_cells"]
+    return kwargs
+
+
+def make_train_step(
+    model: MultiModal3DDetector,
+    tx,
+    train_spec: TrainSpec,
+    compat: CompatFlags,
+) -> Callable:
+    """Returns jitted train_step(state, batch, rng) -> (state, loss_dict)."""
+    spec = model.spec
+    bev_size = (spec.bev.bev_h, spec.bev.bev_w)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(
+            variables,
+            *_model_inputs(spec, batch),
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+            **_model_kwargs(spec, batch),
+        )
+        if spec.head_is_centernet:
+            targets = prepare_centernet_targets(
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                pc_range=spec.bev.pc_range,
+                bev_size=bev_size,
+                num_classes=spec.num_classes,
+            )
+            losses = centernet_loss(
+                preds,
+                targets,
+                weights=train_spec.loss_weights,
+                double_sigmoid=compat.double_sigmoid_focal,
+            )
+        else:
+            targets = prepare_mlp_targets(
+                batch["gt_boxes"], batch["gt_labels"]
+            )
+            losses = detection_loss(preds, targets)
+        return losses["total_loss"], (mutated["batch_stats"], losses)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+        grads, (new_bs, losses) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(
+    model: MultiModal3DDetector,
+    compat: CompatFlags,
+    max_detections: int = 100,
+    eval_path_decode: bool = False,
+) -> Callable:
+    """Returns jitted eval_step(state, batch) -> (decoded, losses-free preds).
+
+    `eval_path_decode=True` selects the standalone eval/inference decoder
+    variant with voxel_size 0.512 (quirk Q3, fusion_detection.py:757); the
+    training-loop validation uses 2.048 (centernet_target.py:389).
+    """
+    spec = model.spec
+    if eval_path_decode and compat.eval_decode_voxel_0512:
+        voxel_size = 0.512
+    else:
+        x_min, _, _, x_max, _, _ = spec.bev.pc_range
+        voxel_size = (x_max - x_min) / spec.bev.bev_w
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        preds = model.apply(
+            variables, *_model_inputs(spec, batch), train=False,
+            **_model_kwargs(spec, batch),
+        )
+        if spec.head_is_centernet:
+            decoded = decode_centernet_predictions(
+                preds,
+                max_detections=max_detections,
+                voxel_size=voxel_size,
+                pc_range=spec.bev.pc_range,
+                class_always_zero=compat.decode_class_always_zero,
+            )
+        else:
+            decoded = preds
+        return decoded
+
+    return eval_step
+
+
+class Trainer:
+    """End-to-end trainer mirroring the reference `main()` orchestration
+    (ref: train_detect.py:590-813) on top of jitted steps."""
+
+    def __init__(
+        self,
+        model: MultiModal3DDetector,
+        train_spec: TrainSpec,
+        compat: CompatFlags = CompatFlags(),
+        mesh=None,
+        steps_per_epoch: int = 1,
+        init_rng: Optional[jax.Array] = None,
+    ):
+        self.model = model
+        self.spec = model.spec
+        self.train_spec = train_spec
+        self.compat = compat
+        self.mesh = mesh
+        self.tx = make_optimizer(train_spec, compat, steps_per_epoch)
+        self.train_step = make_train_step(model, self.tx, train_spec, compat)
+        self.eval_step = make_eval_step(model, compat)
+        self.rng = (
+            init_rng
+            if init_rng is not None
+            else jax.random.PRNGKey(train_spec.seed)
+        )
+        self.state: Optional[TrainState] = None
+        self.best_map = -1.0
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, sample_batch: Dict) -> TrainState:
+        init_rng, self.rng = jax.random.split(self.rng)
+        variables = self.model.init(
+            {"params": init_rng},
+            *_model_inputs(self.spec, _tiny_like(sample_batch)),
+            train=False,
+            **_model_kwargs(self.spec, _tiny_like(sample_batch)),
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        return self.state
+
+    # -- loops ---------------------------------------------------------------
+    def train_one_epoch(self, loader, log_every: int = 10) -> float:
+        assert self.state is not None, "call init_state first"
+        total, count = 0.0, 0
+        for i, batch in enumerate(loader):
+            batch = self._device_batch(batch)
+            self.state, losses = self.train_step(self.state, batch, self.rng)
+            loss = float(losses["total_loss"])
+            total += loss
+            count += 1
+            if log_every and (i % log_every == 0):
+                print(
+                    f"  step {int(self.state.step)}: "
+                    f"loss={loss:.4f} "
+                    f"hm={float(losses.get('heatmap_loss', 0.0)):.4f}"
+                )
+        return total / max(count, 1)
+
+    def evaluate(self, loader, score_thresh: float = 0.1) -> Dict:
+        """Validation pass: decode + metrics (training-eval decode variant,
+        ref: train_detect.py:500-588)."""
+        assert self.state is not None
+        predictions, ground_truths = [], []
+        for batch in loader:
+            dev_batch = self._device_batch(batch)
+            decoded = self.eval_step(self.state, dev_batch)
+            if self.spec.head_is_centernet:
+                dets = decode_to_host(decoded, score_thresh=score_thresh)
+                predictions.extend(dets)
+                for bi in range(len(dets)):
+                    ground_truths.append(
+                        {
+                            "boxes": np.asarray(batch["gt_boxes"][bi]),
+                            "labels": np.asarray(batch["gt_labels"][bi]),
+                        }
+                    )
+        return compute_metrics(
+            predictions,
+            ground_truths,
+            num_classes=self.spec.num_classes,
+            report_class_order=(
+                "reference"
+                if self.compat.metric_report_class_order
+                else "dataset"
+            ),
+        )
+
+    # -- checkpointing ---------------------------------------------------------
+    def save_checkpoint(
+        self, path: str, epoch: int, best: bool = False, backend: str = "msgpack"
+    ):
+        from .checkpoint import save_checkpoint as _save
+
+        _save(
+            path,
+            {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "epoch": jnp.asarray(epoch),
+                "best_map": jnp.asarray(self.best_map),
+            },
+            backend=backend,
+        )
+
+    def load_checkpoint(
+        self, path: str, restore_optimizer: bool = True, backend: str = "msgpack"
+    ):
+        from .checkpoint import load_checkpoint as _load
+
+        assert self.state is not None, "init_state before restoring"
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "epoch": jnp.zeros((), jnp.int32),
+            "best_map": jnp.zeros(()),
+        }
+        restored = _load(path, template, backend=backend)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            step=restored["step"],
+            opt_state=(
+                restored["opt_state"]
+                if restore_optimizer
+                else self.state.opt_state
+            ),
+        )
+        self.best_map = float(restored["best_map"])
+        return int(restored["epoch"])
+
+    # -- helpers ---------------------------------------------------------------
+    def _device_batch(self, batch: Dict) -> Dict:
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jax.Array))
+        }
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            return shard_batch(self.mesh, arrays)
+        return arrays
+
+
+def _tiny_like(batch: Dict) -> Dict:
+    """Shrink batch to batch-size 1 for cheap parameter init."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v[:1]
+        else:
+            out[k] = v
+    return out

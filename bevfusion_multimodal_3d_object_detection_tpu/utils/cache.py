@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+First compiles are slow (tens of seconds on TPU, minutes on the 1-core CPU
+test environment); the persistent cache makes every subsequent process reuse
+them. Called by the CLIs, tests, and bench.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".jax_cache"
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    d = Path(cache_dir or os.environ.get("BMOD_JAX_CACHE", _DEFAULT_DIR))
+    d.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(d))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax versions; cache is an optimization only

@@ -1,0 +1,225 @@
+"""Detection metrics: center-distance mAP + simplified NDS.
+
+Numerically faithful port of the reference metric stack
+(ref: /root/reference/src/utils_v2.py):
+
+- per-sample, per-class greedy score-ordered matching at a 2.0 m BEV
+  center-distance threshold (utils_v2.py:13-36),
+- 11-point interpolated AP (utils_v2.py:42-88),
+- mAP = mean over the 10 classes of per-sample AP means (utils_v2.py:177-184),
+- simplified NDS = mean([5*mAP, 1-min(mATE/4,1), 1-min(mASE,1),
+  1-min(mAOE/pi,1)]) with unmatched-empty error terms defaulting to 1.0
+  (utils_v2.py:189-199) — NOT the official 10-component nuScenes NDS.
+
+Quirk Q9: the reference reports per-class rows in a DIFFERENT class order
+(utils_v2.py:98-101) than the label-encoding order (configs/base.yaml:33-43),
+mislabeling bus/trailer and pedestrian/motorcycle/bicycle rows. Controlled
+here by `report_class_order` ('reference' default | 'dataset' corrected).
+
+This runs on host (numpy): the arrays involved are tiny (<=100 dets/sample).
+The heavy work (decode) already happened on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DEFAULT_CLASSES, METRIC_REPORT_CLASSES
+
+
+def compute_center_distance_matrix(
+    pred_boxes: np.ndarray, gt_boxes: np.ndarray
+) -> np.ndarray:
+    """(N, >=2) x (M, >=2) -> (N, M) BEV center distances
+    (ref: utils_v2.py:7-10)."""
+    d = pred_boxes[:, None, :2] - gt_boxes[None, :, :2]
+    return np.sqrt((d * d).sum(axis=2))
+
+
+def match_predictions_to_gt(
+    distance_matrix: np.ndarray,
+    pred_scores: np.ndarray,
+    threshold: float = 2.0,
+) -> List[Tuple[int, int]]:
+    """Greedy score-descending matching; each GT used once
+    (ref: utils_v2.py:13-36)."""
+    n, m = distance_matrix.shape
+    order = np.argsort(-pred_scores)
+    matches: List[Tuple[int, int]] = []
+    taken = np.zeros(m, dtype=bool)
+    for pi in order:
+        if taken.all():
+            break
+        dist = np.where(taken, np.inf, distance_matrix[pi])
+        gi = int(np.argmin(dist))
+        if dist[gi] <= threshold:
+            matches.append((int(pi), gi))
+            taken[gi] = True
+    return matches
+
+
+def calculate_ap(
+    pred_boxes: np.ndarray,
+    pred_scores: np.ndarray,
+    gt_boxes: np.ndarray,
+    distance_matrix: np.ndarray,
+    threshold: float = 2.0,
+) -> float:
+    """11-point interpolated AP with greedy TP assignment
+    (ref: utils_v2.py:42-88)."""
+    if len(pred_boxes) == 0 or len(gt_boxes) == 0:
+        return 0.0
+    order = np.argsort(-pred_scores)
+    tp = np.zeros(len(pred_boxes))
+    fp = np.zeros(len(pred_boxes))
+    taken = np.zeros(len(gt_boxes), dtype=bool)
+    for i, pi in enumerate(order):
+        if not taken.all():
+            dist = np.where(taken, np.inf, distance_matrix[pi])
+            gi = int(np.argmin(dist))
+            if dist[gi] <= threshold:
+                tp[i] = 1
+                taken[gi] = True
+            else:
+                fp[i] = 1
+        else:
+            fp[i] = 1
+
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recalls = tp_cum / len(gt_boxes)
+    precisions = tp_cum / (tp_cum + fp_cum + 1e-10)
+
+    ap = 0.0
+    for t in np.linspace(0, 1, 11):
+        valid = precisions[recalls >= t]
+        ap += (valid.max() if len(valid) > 0 else 0.0) / 11.0
+    return float(ap)
+
+
+def compute_metrics(
+    predictions: List[Dict],
+    ground_truths: List[Dict],
+    num_classes: int = 10,
+    distance_threshold: float = 2.0,
+    report_class_order: str = "reference",
+) -> Dict[str, object]:
+    """mAP + simplified NDS over per-sample prediction/GT dicts
+    (ref: utils_v2.py:94-205).
+
+    Each predictions[i]: {'boxes': (N,7), 'scores': (N,), 'labels': (N,)};
+    each ground_truths[i]: {'boxes': (M,7), 'labels': (M,)} (-1 = padding).
+    """
+    class_names = (
+        list(METRIC_REPORT_CLASSES)
+        if report_class_order == "reference"
+        else list(DEFAULT_CLASSES)
+    )
+
+    aps_per_class: Dict[int, List[float]] = {c: [] for c in range(num_classes)}
+    mates: List[float] = []
+    mases: List[float] = []
+    maoes: List[float] = []
+
+    for pred, gt in zip(predictions, ground_truths):
+        pred_boxes = np.asarray(pred["boxes"])
+        pred_scores = np.asarray(pred["scores"])
+        pred_labels = np.asarray(pred["labels"])
+        gt_boxes = np.asarray(gt["boxes"])
+        gt_labels = np.asarray(gt["labels"])
+
+        keep = gt_labels >= 0
+        gt_boxes = gt_boxes[keep]
+        gt_labels = gt_labels[keep]
+
+        if len(gt_boxes) == 0 and len(pred_boxes) == 0:
+            continue
+
+        for cls in range(num_classes):
+            cls_preds = pred_boxes[pred_labels == cls]
+            cls_scores = pred_scores[pred_labels == cls]
+            cls_gts = gt_boxes[gt_labels == cls]
+
+            if len(cls_gts) == 0 and len(cls_preds) == 0:
+                continue
+            if len(cls_gts) == 0 or len(cls_preds) == 0:
+                aps_per_class[cls].append(0.0)
+                continue
+
+            dist_mat = compute_center_distance_matrix(cls_preds, cls_gts)
+            aps_per_class[cls].append(
+                calculate_ap(
+                    cls_preds, cls_scores, cls_gts, dist_mat,
+                    threshold=distance_threshold,
+                )
+            )
+
+            for pi, gi in match_predictions_to_gt(
+                dist_mat, cls_scores, threshold=distance_threshold
+            ):
+                pb, gb = cls_preds[pi], cls_gts[gi]
+                mates.append(float(np.linalg.norm(pb[:2] - gb[:2])))
+                mases.append(
+                    float(np.mean(np.abs(pb[3:6] - gb[3:6]) / (gb[3:6] + 1e-6)))
+                )
+                ang = pb[6] - gb[6]
+                ang = np.arctan2(np.sin(ang), np.cos(ang))
+                maoes.append(abs(float(ang)))
+
+    class_aps = [
+        float(np.mean(aps_per_class[c])) if aps_per_class[c] else 0.0
+        for c in range(num_classes)
+    ]
+    m_ap = float(np.mean(class_aps))
+
+    m_ate = float(np.mean(mates)) if mates else 1.0
+    m_ase = float(np.mean(mases)) if mases else 1.0
+    m_aoe = float(np.mean(maoes)) if maoes else 1.0
+
+    nds = float(
+        np.mean(
+            [
+                5 * m_ap,
+                1 - min(m_ate / 4.0, 1.0),
+                1 - min(m_ase / 1.0, 1.0),
+                1 - min(m_aoe / np.pi, 1.0),
+            ]
+        )
+    )
+
+    return {
+        "mAP": m_ap,
+        "NDS": nds,
+        "mATE": m_ate,
+        "mASE": m_ase,
+        "mAOE": m_aoe,
+        "AP_per_class": {
+            class_names[i]: class_aps[i] for i in range(num_classes)
+        },
+    }
+
+
+def save_and_print_metrics(
+    metrics: dict, save_path: str = "metrics_output.txt"
+) -> None:
+    """Write + print the exact reference report format
+    (ref: utils_v2.py:208-233)."""
+    lines = [
+        "===== Evaluation Metrics =====",
+        f"mAP : {metrics['mAP']:.4f}",
+        f"NDS : {metrics['NDS']:.4f}",
+        "",
+        "--- AP Per Class ---",
+    ]
+    for cls_name, ap_val in metrics["AP_per_class"].items():
+        lines.append(f"{cls_name:20s}: {ap_val:.4f}")
+
+    print("\n" + lines[0])
+    for line in lines[1:]:
+        print(line)
+
+    with open(save_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nMetrics saved to {save_path}")

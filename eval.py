@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (ref: /root/reference/src/eval.py).
+
+  python eval.py <anything> <config.yaml>
+
+Arg quirk Q10 preserved: the reference reads `config_path = sys.argv[2]`
+(eval.py:234), so the documented `python eval.py configs/base.yaml` leaves
+config_path=None and runs with in-code defaults. Reproduced here: argv[2] is
+the config; argv[1] is ignored. (Pass the config as the SECOND argument for
+explicit config control, exactly like the reference.)
+
+Pipeline: val loader -> checkpoint restore (tolerant, like strict=False at
+eval.py:211) -> forward + eval-path decode (voxel 0.512, quirk Q3,
+score_thresh=0.0 per eval.py:58-62) -> mAP/NDS -> writes
+eval_results/eval_metrics_output.txt in the reference format.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main(config_path: str | None = None) -> dict:
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        TrainSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data import (
+        DataLoader,
+        NuScenesDataset,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+        decode_to_host,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import (
+        Trainer,
+        make_eval_step,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        compute_metrics,
+        save_and_print_metrics,
+    )
+
+    # Q10: with config_path=None, loader settings fall back to defaults but
+    # the MODEL is still built from the hardcoded configs/base.yaml
+    # (ref: eval.py:154-170, 209).
+    model_config = load_config("configs/base.yaml")
+    loader_config = load_config(config_path) if config_path else None
+
+    spec = DetectorSpec.from_config(model_config)
+    compat = CompatFlags.from_config(model_config)
+    train_spec = TrainSpec.from_config(loader_config or model_config)
+
+    data_root = "./data/nuscenes"
+    if loader_config:
+        data_root = (loader_config.get("dataset", {}) or {}).get(
+            "data_root", data_root
+        )
+
+    val_ds = NuScenesDataset(
+        data_root=data_root,
+        split="val",
+        config=loader_config or model_config,
+        seed=42,
+    )
+    val_loader = DataLoader(val_ds, batch_size=train_spec.batch_size)
+
+    model = MultiModal3DDetector(
+        spec=spec, mask_padding=not compat.unmasked_point_padding
+    )
+    trainer = Trainer(model, train_spec, compat)
+    trainer.init_state(
+        __import__(
+            "bevfusion_multimodal_3d_object_detection_tpu.data",
+            fromlist=["collate_fn"],
+        ).collate_fn([val_ds[0]])
+    )
+
+    ckpt = Path("./checkpoints/best_model.msgpack")
+    if ckpt.exists():
+        trainer.load_checkpoint(str(ckpt))
+        print(f"Loaded checkpoint {ckpt}")
+    else:
+        print(f"Warning: {ckpt} not found — evaluating random init")
+
+    # eval-path decode variant (Q3: voxel 0.512), score_thresh 0.0 (Q16)
+    eval_step = make_eval_step(model, compat, eval_path_decode=True)
+
+    predictions, ground_truths = [], []
+    for batch in val_loader:
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        decoded = eval_step(trainer.state, arrays)
+        dets = decode_to_host(decoded, score_thresh=0.0)
+        predictions.extend(dets)
+        for bi in range(len(dets)):
+            ground_truths.append(
+                {
+                    "boxes": np.asarray(batch["gt_boxes"][bi]),
+                    "labels": np.asarray(batch["gt_labels"][bi]),
+                }
+            )
+
+    metrics = compute_metrics(
+        predictions,
+        ground_truths,
+        num_classes=spec.num_classes,
+        report_class_order=(
+            "reference" if compat.metric_report_class_order else "dataset"
+        ),
+    )
+    out_dir = Path("eval_results")
+    out_dir.mkdir(exist_ok=True)
+    save_and_print_metrics(metrics, str(out_dir / "eval_metrics_output.txt"))
+    return metrics
+
+
+if __name__ == "__main__":
+    # argv[2] is the config (quirk Q10, ref: eval.py:233-235)
+    main(sys.argv[2] if len(sys.argv) > 2 else None)

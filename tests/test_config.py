@@ -1,0 +1,95 @@
+"""Config system: YAML parsing, modality strings, compat flags."""
+
+from pathlib import Path
+
+import pytest
+
+from bevfusion_multimodal_3d_object_detection_tpu.config import (
+    CompatFlags,
+    DataSpec,
+    DetectorSpec,
+    TrainSpec,
+    load_config,
+    parse_modalities,
+)
+
+CONFIG_PATH = Path(__file__).resolve().parents[1] / "configs" / "base.yaml"
+
+
+def test_parse_modalities():
+    assert parse_modalities("camera_only") == (True, False, False)
+    assert parse_modalities("lidar_only") == (False, True, False)
+    assert parse_modalities("radar_only") == (False, False, True)
+    assert parse_modalities("camera+lidar") == (True, True, False)
+    assert parse_modalities("camera+lidar+radar") == (True, True, True)
+    assert parse_modalities("all") == (True, True, True)
+    assert parse_modalities("CAMERA + LIDAR") == (True, True, False)
+
+
+def test_detector_spec_from_yaml():
+    cfg = load_config(str(CONFIG_PATH))
+    spec = DetectorSpec.from_config(cfg)
+    assert spec.use_camera and spec.use_lidar and spec.use_radar
+    assert spec.fusion_type == "bev"
+    assert spec.head_is_centernet
+    assert spec.num_classes == 10
+    assert spec.bev.bev_h == 50 and spec.bev.bev_w == 50
+    assert spec.camera.backbone == "resnet18"
+    assert spec.lidar.mlp_layers == (64, 128, 256, 512, 1024)
+    assert spec.radar.num_radars == 5
+    assert spec.camera.image_size == (448, 800)
+
+
+def test_spec_is_hashable_jit_static():
+    cfg = load_config(str(CONFIG_PATH))
+    spec = DetectorSpec.from_config(cfg)
+    assert hash(spec) == hash(DetectorSpec.from_config(cfg))
+
+
+def test_modality_override():
+    cfg = load_config(str(CONFIG_PATH))
+    spec = DetectorSpec.from_config(cfg, modality_config="camera_only")
+    assert spec.use_camera and not spec.use_lidar and not spec.use_radar
+    assert spec.modality_string() == "camera"
+
+
+def test_mlp_head_forced_for_non_spatial_fusion():
+    cfg = load_config(str(CONFIG_PATH))
+    spec = DetectorSpec.from_config(cfg, fusion_type="attention")
+    assert not spec.head_is_centernet  # ref: fusion.py:1074-1088
+
+
+def test_compat_defaults_are_reference_behavior():
+    flags = CompatFlags()
+    assert flags.decode_class_always_zero
+    assert flags.double_sigmoid_focal
+    assert flags.eval_decode_voxel_0512
+    assert flags.random_radar_points
+    assert flags.constant_lr
+
+
+def test_compat_from_yaml_override(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("compat:\n  decode_class_always_zero: false\n")
+    flags = CompatFlags.from_config(load_config(str(p)))
+    assert not flags.decode_class_always_zero
+    assert flags.double_sigmoid_focal  # untouched default
+
+
+def test_train_spec_from_yaml():
+    cfg = load_config(str(CONFIG_PATH))
+    ts = TrainSpec.from_config(cfg)
+    assert ts.learning_rate == pytest.approx(1e-4)
+    assert ts.weight_decay == pytest.approx(0.01)
+    assert ts.grad_clip_norm == 10.0
+    assert ts.batch_size == 4
+    assert ts.seed == 42
+
+
+def test_data_spec_from_yaml():
+    cfg = load_config(str(CONFIG_PATH))
+    ds = DataSpec.from_config(cfg)
+    assert ds.max_lidar_points == 35000
+    assert ds.max_radar_points == 125
+    assert ds.image_size == (448, 800)
+    assert len(ds.classes) == 10

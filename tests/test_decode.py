@@ -1,0 +1,145 @@
+"""Decode kernel vs. an independent numpy reimplementation of the reference
+decode semantics (ref: centernet_target.py:326-452)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+    decode_centernet_predictions,
+    decode_to_host,
+    heatmap_nms,
+)
+
+
+def naive_decode(preds_nchw, k=100, voxel_size=2.048, class_bug=True):
+    """Reference semantics in plain numpy. preds maps are NCHW."""
+    hm = preds_nchw["heatmap"]
+    b, c, h, w = hm.shape
+    # 3x3 maxpool nms
+    padded = np.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)),
+                    constant_values=-np.inf)
+    hmax = np.stack(
+        [
+            np.max(
+                np.stack(
+                    [
+                        padded[:, :, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)
+                    ]
+                ),
+                axis=0,
+            )
+        ]
+    )[0]
+    heat = np.where(hmax == hm, hm, 0.0)
+
+    flat = heat.reshape(b, c, h * w)
+    # per-class topk
+    idx1 = np.argsort(-flat, axis=2, kind="stable")[:, :, :k]
+    val1 = np.take_along_axis(flat, idx1, axis=2)
+    classes = np.zeros_like(idx1) if class_bug else np.broadcast_to(
+        np.arange(c)[None, :, None], idx1.shape
+    ).copy()
+    ys, xs = idx1 // w, idx1 % w
+    # combined topk
+    val1f = val1.reshape(b, c * k)
+    idx2 = np.argsort(-val1f, axis=1, kind="stable")[:, :k]
+    scores = np.take_along_axis(val1f, idx2, axis=1)
+    take = lambda a: np.take_along_axis(a.reshape(b, c * k), idx2, axis=1)
+    classes, ys, xs = take(classes), take(ys), take(xs)
+
+    def gather(m):
+        mc = m.shape[1]
+        out = np.zeros((b, k, mc))
+        for bi in range(b):
+            # advanced indexing with a slice in between puts the index axis
+            # first: result is already (K, C)
+            out[bi] = m[bi, :, ys[bi], xs[bi]]
+        return out
+
+    off = gather(preds_nchw["offset"])
+    size = gather(preds_nchw["size"])
+    rot = gather(preds_nchw["rot"])
+    cx = xs + off[..., 0]
+    cy = ys + off[..., 1]
+    wx = cx * voxel_size + (-51.2)
+    wy = cy * voxel_size + (-51.2)
+    yaw = np.arctan2(rot[..., 0], rot[..., 1])
+    boxes = np.stack(
+        [wx, wy, np.full_like(wx, -1.0), size[..., 0], size[..., 1],
+         size[..., 2], yaw],
+        axis=-1,
+    )
+    return boxes, scores, classes
+
+
+def _random_preds(seed=0, b=2, h=50, w=50, c=10):
+    rng = np.random.RandomState(seed)
+    return {
+        "heatmap": rng.rand(b, c, h, w).astype(np.float32),
+        "offset": rng.randn(b, 2, h, w).astype(np.float32),
+        "size": rng.rand(b, 3, h, w).astype(np.float32),
+        "rot": rng.randn(b, 2, h, w).astype(np.float32),
+        "vel": rng.randn(b, 2, h, w).astype(np.float32),
+    }
+
+
+def _to_nhwc(preds):
+    return {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in preds.items()}
+
+
+def test_decode_matches_naive():
+    preds = _random_preds()
+    out = decode_centernet_predictions(_to_nhwc(preds))
+    boxes_ref, scores_ref, classes_ref = naive_decode(preds)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out["scores"]), axis=1),
+        np.sort(scores_ref, axis=1),
+        atol=1e-5,
+    )
+    # scores are sorted descending in both; compare in order
+    np.testing.assert_allclose(np.asarray(out["scores"]), scores_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["boxes"]), boxes_ref, atol=1e-4)
+    assert (np.asarray(out["labels"]) == 0).all()  # quirk Q1
+
+
+def test_decode_corrected_classes():
+    preds = _random_preds(seed=3)
+    out = decode_centernet_predictions(
+        _to_nhwc(preds), class_always_zero=False
+    )
+    _, _, classes_ref = naive_decode(preds, class_bug=False)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), classes_ref)
+
+
+def test_decode_voxel_size_flag():
+    preds = _random_preds(seed=5)
+    out_train = decode_centernet_predictions(_to_nhwc(preds), voxel_size=2.048)
+    out_eval = decode_centernet_predictions(_to_nhwc(preds), voxel_size=0.512)
+    # same peaks, different world scaling (quirk Q3)
+    bt = np.asarray(out_train["boxes"])
+    be = np.asarray(out_eval["boxes"])
+    np.testing.assert_allclose(
+        (bt[..., 0] + 51.2) / 4.0, be[..., 0] + 51.2, atol=1e-4
+    )
+    # eval-path coords live in the [-51.2, -25.6) quadrant
+    assert be[..., 0].max() < -25.0
+
+
+def test_nms_keeps_only_local_maxima():
+    hm = np.zeros((1, 5, 5, 1), np.float32)
+    hm[0, 2, 2, 0] = 1.0
+    hm[0, 2, 3, 0] = 0.5  # suppressed by the neighbor peak
+    out = np.asarray(heatmap_nms(jnp.asarray(hm)))
+    assert out[0, 2, 2, 0] == 1.0
+    assert out[0, 2, 3, 0] == 0.0
+
+
+def test_decode_to_host_filters_scores():
+    preds = _random_preds(seed=7)
+    out = decode_centernet_predictions(_to_nhwc(preds))
+    host = decode_to_host(out, score_thresh=0.99)
+    for det in host:
+        assert (det["scores"] > 0.99).all()
+        assert det["boxes"].shape[1] == 7

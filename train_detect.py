@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Training CLI — same surface as the reference `train_detect.py`
+(ref: train_detect.py:886-900):
+
+  python train_detect.py train [configs/base.yaml]
+  python train_detect.py infer [checkpoint_path]
+
+Internally: jitted train step (forward + on-device target assignment + loss +
+AdamW + clip), per-epoch validation with decode + mAP/NDS, best-checkpoint
+saving, and an actually working resume (the reference never reads its
+`train.resume` block; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(config_path: str | None = None) -> None:
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    import jax
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DataSpec,
+        DetectorSpec,
+        ParallelSpec,
+        TrainSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data import (
+        DataLoader,
+        NuScenesDataset,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        save_and_print_metrics,
+    )
+
+    config_path = config_path or "configs/base.yaml"
+    config = load_config(config_path)
+    spec = DetectorSpec.from_config(config)
+    train_spec = TrainSpec.from_config(config)
+    data_spec = DataSpec.from_config(config)
+    compat = CompatFlags.from_config(config)
+    par = ParallelSpec.from_config(config)
+
+    print(f"Model: {spec.modality_string()} / {spec.fusion_type} / "
+          f"{spec.detection_head}")
+    print(f"Devices: {jax.devices()}")
+
+    train_ds = NuScenesDataset(
+        data_root=data_spec.data_root, split="train", config=config,
+        seed=train_spec.seed,
+    )
+    val_ds = NuScenesDataset(
+        data_root=data_spec.data_root, split="val", config=config,
+        seed=train_spec.seed,
+    )
+    train_loader = DataLoader(
+        train_ds, batch_size=train_spec.batch_size, shuffle=True,
+        drop_last=True, seed=train_spec.seed,
+    )
+    val_loader = DataLoader(val_ds, batch_size=train_spec.batch_size)
+
+    mesh = None
+    if par.data_parallel > 1 or par.view_parallel > 1:
+        from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(par.data_parallel, par.view_parallel)
+        print(f"Mesh: {mesh}")
+
+    model = MultiModal3DDetector(
+        spec=spec, mask_padding=not compat.unmasked_point_padding
+    )
+    trainer = Trainer(
+        model, train_spec, compat, mesh=mesh,
+        steps_per_epoch=len(train_loader),
+    )
+    batch0 = next(iter(train_loader))
+    trainer.init_state(batch0)
+
+    start_epoch = 0
+    if train_spec.resume_enable and train_spec.resume_path:
+        start_epoch = trainer.load_checkpoint(train_spec.resume_path) + 1
+        print(f"Resumed from {train_spec.resume_path} at epoch {start_epoch}")
+
+    save_dir = Path(train_spec.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    for epoch in range(start_epoch, train_spec.num_epochs):
+        t0 = time.time()
+        avg_loss = trainer.train_one_epoch(train_loader)
+        print(
+            f"Epoch {epoch}: loss={avg_loss:.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        if (epoch + 1) % train_spec.save_interval == 0 or (
+            epoch + 1 == train_spec.num_epochs
+        ):
+            trainer.save_checkpoint(
+                str(save_dir / f"checkpoint_epoch_{epoch}.msgpack"), epoch
+            )
+        metrics = trainer.evaluate(val_loader)
+        save_and_print_metrics(metrics, "metrics_output.txt")
+        if train_spec.save_best and metrics["mAP"] > trainer.best_map:
+            trainer.best_map = metrics["mAP"]
+            trainer.save_checkpoint(
+                str(save_dir / "best_model.msgpack"), epoch, best=True
+            )
+            print(f"New best mAP {trainer.best_map:.4f} — saved best_model")
+
+
+def inference(model_path: str, data_root: str = "./data/nuscenes") -> None:
+    """Quick single-sample inference (ref: train_detect.py:820-900)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data import (
+        NuScenesDataset,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.inference_engine import (
+        InferenceEngine,
+    )
+
+    engine = InferenceEngine(model_path=model_path)
+    ds = NuScenesDataset(data_root=data_root, split="val")
+    engine.run_inference(ds[0], visualize=False)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        main(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "infer":
+        inference(
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else "./checkpoints/best_model.msgpack"
+        )
+    else:
+        print("Usage:")
+        print("  python train_detect.py train [config.yaml]")
+        print("  python train_detect.py infer [checkpoint]")
