@@ -112,14 +112,19 @@ def measure_tpu(batch_sizes=(1, 4, 8), warmup=2, iters=8) -> float:
                      spec.radar.max_points_per_sensor, 7),
             jnp.bfloat16,
         )
+        def sync(out):
+            # host transfer of a small output: forces completion of all queued
+            # device work (block_until_ready alone is unreliable on the
+            # experimental tunneled platform)
+            return float(np.asarray(out["scores"]).sum())
+
         try:
             for _ in range(warmup):
-                out = infer(variables, cams, lidar, radars)
-                jax.block_until_ready(out)
+                sync(infer(variables, cams, lidar, radars))
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = infer(variables, cams, lidar, radars)
-            jax.block_until_ready(out)
+            sync(out)
             elapsed = time.perf_counter() - t0
             sps = bs * iters / elapsed
             print(

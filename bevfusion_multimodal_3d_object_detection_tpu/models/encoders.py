@@ -332,3 +332,36 @@ class VoxelNetLiDAREncoder(nn.Module):
         return nn.Dense(self.spec.feat_dim, dtype=self.dtype, name="proj")(
             pooled
         )
+
+
+if __name__ == "__main__":
+    # Executable smoke test mirroring the reference's `python encoders.py`
+    # self-test (ref: encoders.py:792-882): build every encoder, forward
+    # dummy tensors, print shapes.
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    print("=== ResNetCameraEncoder ===")
+    cam = ResNetCameraEncoder(spec=CameraEncoderSpec(image_size=(64, 128)))
+    x = jax.random.normal(rng, (1, 6, 64, 128, 3))
+    v = cam.init({"params": rng}, x)
+    print(f"  in {x.shape} -> out {cam.apply(v, x).shape}")
+
+    print("=== PointNetLiDAREncoder ===")
+    lid = PointNetLiDAREncoder(spec=LidarEncoderSpec(max_points=1024))
+    x = jax.random.normal(rng, (2, 1024, 4))
+    v = lid.init({"params": rng}, x)
+    print(f"  in {x.shape} -> out {lid.apply(v, x).shape}")
+
+    print("=== VoxelNetLiDAREncoder ===")
+    vox = VoxelNetLiDAREncoder(spec=LidarEncoderSpec(max_points=1024))
+    v = vox.init({"params": rng}, x)
+    print(f"  in {x.shape} -> out {vox.apply(v, x).shape}")
+
+    print("=== MultiRadarEncoder ===")
+    rad = MultiRadarEncoder(spec=RadarEncoderSpec(max_points_per_sensor=32))
+    x = jax.random.normal(rng, (2, 5, 32, 7))
+    v = rad.init({"params": rng}, x)
+    print(f"  in {x.shape} -> out {rad.apply(v, x).shape}")
+
+    print("\nALL TESTS PASSED!")

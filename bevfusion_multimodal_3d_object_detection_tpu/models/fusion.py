@@ -404,3 +404,57 @@ class FlexibleLateFusion(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=not train)(x)
         return x
+
+
+def test_all_configurations():
+    """Sweep modality x fusion combinations on dummy data and print a
+    PASS/FAIL summary (mirrors the reference's `python fusion.py` self-test,
+    ref: fusion.py:1228-1377)."""
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    combos = [
+        (True, True, False),
+        (True, True, True),
+    ]
+    fusions = {
+        "bev": lambda uc, ul, ur: FlexibleBEVFusion(
+            use_camera=uc, use_lidar=ul, use_radar=ur
+        ),
+        "attention": lambda uc, ul, ur: FlexibleAttentionFusion(
+            use_camera=uc, use_lidar=ul, use_radar=ur
+        ),
+        "late": lambda uc, ul, ur: FlexibleLateFusion(
+            use_camera=uc, use_lidar=ul, use_radar=ur
+        ),
+    }
+    results = []
+    for uc, ul, ur in combos:
+        cam = jax.random.normal(rng, (1, 6, 4, 8, 512)) if uc else None
+        lid = jax.random.normal(rng, (1, 1024)) if ul else None
+        rad = jax.random.normal(rng, (1, 256)) if ur else None
+        for name, make in fusions.items():
+            mods = "+".join(
+                m for m, u in zip(("camera", "lidar", "radar"), (uc, ul, ur))
+                if u
+            )
+            try:
+                mod = make(uc, ul, ur)
+                variables = mod.init({"params": rng}, cam, lid, rad)
+                out = mod.apply(variables, cam, lid, rad)
+                n_params = sum(
+                    x.size
+                    for x in jax.tree_util.tree_leaves(variables["params"])
+                )
+                results.append((mods, name, "PASS", out.shape, n_params))
+            except Exception as e:  # pragma: no cover
+                results.append((mods, name, f"FAIL: {e}", None, 0))
+    print(f"{'modalities':22s} {'fusion':10s} {'status':8s} shape / params")
+    for mods, name, status, shape, n in results:
+        print(f"{mods:22s} {name:10s} {status:8s} {shape} {n:,}")
+    assert all(r[2] == "PASS" for r in results)
+    print("\nALL TESTS PASSED!")
+
+
+if __name__ == "__main__":
+    test_all_configurations()

@@ -49,14 +49,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
-    """Place a host batch dict onto the mesh, sharded over 'data'.
+    """Place a host batch dict onto the mesh: batch axis over 'data'; the
+    camera axis of `camera_imgs` / `camera_cells` additionally over 'view'.
 
+    Sharding the camera axis makes XLA run the 6 per-camera ResNet passes on
+    different chips and turn the mean-over-cameras (fusion.py reference op)
+    into an ICI collective — no model changes needed, jit partitions it.
     Non-array entries (e.g. 'tokens') pass through unchanged.
     """
+    view_size = mesh.shape.get("view", 1)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, (np.ndarray, jax.Array)):
-            out[k] = jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
-        else:
+        if not isinstance(v, (np.ndarray, jax.Array)):
             out[k] = v
+            continue
+        if (
+            k in ("camera_imgs", "camera_cells")
+            and view_size > 1
+            and np.ndim(v) >= 2
+            and v.shape[1] % view_size == 0
+        ):
+            spec = P("data", "view", *([None] * (np.ndim(v) - 2)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        else:
+            out[k] = jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
     return out

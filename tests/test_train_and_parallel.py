@@ -126,3 +126,38 @@ def test_data_parallel_train_step_runs(tiny_spec):
     dev_batch = trainer._device_batch(batch)
     state, losses = trainer.train_step(trainer.state, dev_batch, trainer.rng)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_view_parallel_camera_sharding(tiny_spec):
+    """(data=2, view=3) mesh: the 6-camera axis sharded over 'view' must give
+    the same numerics as unsharded execution."""
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+        shard_batch,
+    )
+
+    mesh = make_mesh(n_data=2, n_view=3)
+    model = MultiModal3DDetector(spec=tiny_spec)
+    batch = tiny_batch(batch_size=2)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng},
+        batch["camera_imgs"][:1],
+        batch["lidar_points"][:1],
+        batch["radar_points"][:1],
+        train=False,
+    )
+    apply = jax.jit(lambda v, c, l, r: model.apply(v, c, l, r, train=False))
+    ref = apply(
+        variables, batch["camera_imgs"], batch["lidar_points"],
+        batch["radar_points"],
+    )
+    sharded = shard_batch(mesh, batch)
+    assert sharded["camera_imgs"].sharding.spec[1] == "view"
+    out = apply(
+        variables, sharded["camera_imgs"], sharded["lidar_points"],
+        sharded["radar_points"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["heatmap"]), np.asarray(out["heatmap"]), atol=1e-5
+    )
