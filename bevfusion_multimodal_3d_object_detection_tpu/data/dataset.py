@@ -119,6 +119,7 @@ class NuScenesDataset:
         depth_bins: int = 40,
         depth_min: float = 1.0,
         depth_max: float = 60.0,
+        use_native: bool = True,
     ):
         if config is not None:
             ds = DataSpec.from_config(config)
@@ -141,6 +142,7 @@ class NuScenesDataset:
         self.compat = compat
         self.rng = np.random.RandomState(seed)
         self.return_camera_cells = return_camera_cells
+        self.use_native = use_native
         self.bev_h, self.bev_w = bev_h, bev_w
         self.depth_bins = depth_bins
         self.depth_min, self.depth_max = depth_min, depth_max
@@ -172,12 +174,19 @@ class NuScenesDataset:
         return np.stack(imgs)  # (6, H, W, 3)
 
     def _load_lidar(self, info) -> np.ndarray:
+        record = 4 if self.compat.lidar_four_float_parse else 5
+        if self.use_native:
+            from .native import load_lidar_native
+
+            out = load_lidar_native(
+                str(info["lidar_path"]), record, self.max_points, 4,
+                self.pc_range, seed=self.rng.randint(1 << 31),
+            )
+            if out is not None:
+                return out
         raw = np.fromfile(str(info["lidar_path"]), dtype=np.float32)
-        if self.compat.lidar_four_float_parse:
-            # Q5: misaligned 4-float parse, reproducing the reference
-            pts = raw[: (raw.size // 4) * 4].reshape(-1, 4)
-        else:
-            pts = raw[: (raw.size // 5) * 5].reshape(-1, 5)[:, :4]
+        # Q5 (record=4): misaligned 4-float parse, reproducing the reference
+        pts = raw[: (raw.size // record) * record].reshape(-1, record)[:, :4]
         x0, y0, z0, x1, y1, z1 = self.pc_range
         m = (
             (pts[:, 0] > x0) & (pts[:, 0] < x1)

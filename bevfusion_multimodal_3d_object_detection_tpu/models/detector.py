@@ -41,6 +41,8 @@ class MultiModal3DDetector(nn.Module):
     spec: DetectorSpec = DetectorSpec()
     dtype: Any = jnp.float32
     mask_padding: bool = False  # compat Q13 (False = reference behavior)
+    # fused Pallas PointNet on the inference path (ops/pointnet_pallas.py)
+    use_pallas_infer: bool = False
 
     @nn.compact
     def __call__(
@@ -73,6 +75,7 @@ class MultiModal3DDetector(nn.Module):
                     spec=s.lidar,
                     dtype=self.dtype,
                     mask_padding=self.mask_padding,
+                    use_pallas_infer=self.use_pallas_infer,
                     name="lidar_encoder",
                 )(lidar_points, train=train)
 
@@ -82,6 +85,7 @@ class MultiModal3DDetector(nn.Module):
                 spec=s.radar,
                 dtype=self.dtype,
                 mask_padding=self.mask_padding,
+                use_pallas_infer=self.use_pallas_infer,
                 name="radar_encoder",
             )(radar_points, train=train)
 
@@ -148,6 +152,7 @@ def create_detector(
     config_path: Optional[str] = None,
     dtype: Any = jnp.float32,
     mask_padding: bool = False,
+    use_pallas_infer: bool = False,
 ) -> MultiModal3DDetector:
     """Factory mirroring the reference `create_detector`
     (ref: fusion.py:1148-1221): accepts a modality string
@@ -163,5 +168,6 @@ def create_detector(
         num_classes=num_classes,
     )
     return MultiModal3DDetector(
-        spec=spec, dtype=dtype, mask_padding=mask_padding
+        spec=spec, dtype=dtype, mask_padding=mask_padding,
+        use_pallas_infer=use_pallas_infer,
     )

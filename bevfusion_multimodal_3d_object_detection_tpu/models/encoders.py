@@ -63,7 +63,7 @@ class ResNetCameraEncoder(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="channel_proj_bn",
+            dtype=self.dtype, name="channel_proj_bn",
         )(x)
         x = nn.relu(x)
 
@@ -102,7 +102,7 @@ class _PointMLP(nn.Module):
                     axis=-1,
                     # reduce over batch AND point axes (torch BatchNorm1d)
                     axis_name=None,
-                    dtype=jnp.float32,
+                    dtype=self.dtype,
                     name=f"bn{i + 1}",
                 )(x)
             x = nn.relu(x)
@@ -141,6 +141,10 @@ class PointNetLiDAREncoder(nn.Module):
     spec: LidarEncoderSpec = LidarEncoderSpec()
     dtype: Any = jnp.float32
     mask_padding: bool = False  # compat Q13: reference does NOT mask
+    # inference fast path: run the whole MLP chain + max-pool as ONE fused
+    # Pallas kernel (BN folded into the matmuls) — avoids materializing the
+    # (B, N, width) intermediates in HBM (ops/pointnet_pallas.py)
+    use_pallas_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,13 +153,33 @@ class PointNetLiDAREncoder(nn.Module):
         if x.ndim == 3 and x.shape[-1] != c_in and x.shape[1] == c_in:
             x = jnp.swapaxes(x, 1, 2)
 
-        mask = points_validity_mask(x) if self.mask_padding else None
-        feats = _PointMLP(
+        mlp = _PointMLP(
             layers=self.spec.mlp_layers,
             use_bn=self.spec.use_batch_norm,
             dtype=self.dtype,
             name="point_mlp",
-        )(x, train=train)
+        )
+
+        if (
+            self.use_pallas_infer
+            and not train
+            and not self.is_initializing()
+        ):
+            from ..ops.pointnet_pallas import pointnet_encode_folded
+
+            params = self.get_variable("params", "point_mlp")
+            stats = self.get_variable("batch_stats", "point_mlp") or {}
+            return pointnet_encode_folded(
+                x.astype(self.dtype),
+                params,
+                stats,
+                num_layers=len(self.spec.mlp_layers),
+                mask_padding=self.mask_padding,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+        mask = points_validity_mask(x) if self.mask_padding else None
+        feats = mlp(x, train=train)
         return masked_max(feats, mask, axis=1)  # (B, feat_dim)
 
 
@@ -168,19 +192,41 @@ class RadarEncoder(nn.Module):
     spec: RadarEncoderSpec = RadarEncoderSpec()
     dtype: Any = jnp.float32
     mask_padding: bool = False
+    use_pallas_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_in = self.spec.input_channels
         if x.ndim == 3 and x.shape[-1] != c_in and x.shape[1] == c_in:
             x = jnp.swapaxes(x, 1, 2)
-        mask = points_validity_mask(x) if self.mask_padding else None
-        feats = _PointMLP(
+
+        mlp = _PointMLP(
             layers=self.spec.mlp_layers,
             use_bn=self.spec.use_batch_norm,
             dtype=self.dtype,
             name="point_mlp",
-        )(x, train=train)
+        )
+        if (
+            self.use_pallas_infer
+            and not train
+            and not self.is_initializing()
+        ):
+            from ..ops.pointnet_pallas import pointnet_encode_folded
+
+            params = self.get_variable("params", "point_mlp")
+            stats = self.get_variable("batch_stats", "point_mlp") or {}
+            return pointnet_encode_folded(
+                x.astype(self.dtype),
+                params,
+                stats,
+                num_layers=len(self.spec.mlp_layers),
+                mask_padding=self.mask_padding,
+                block_points=128,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+        mask = points_validity_mask(x) if self.mask_padding else None
+        feats = mlp(x, train=train)
         return masked_max(feats, mask, axis=1)
 
 
@@ -198,6 +244,7 @@ class MultiRadarEncoder(nn.Module):
     spec: RadarEncoderSpec = RadarEncoderSpec()
     dtype: Any = jnp.float32
     mask_padding: bool = False
+    use_pallas_infer: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -209,6 +256,7 @@ class MultiRadarEncoder(nn.Module):
             spec=self.spec,
             dtype=self.dtype,
             mask_padding=self.mask_padding,
+            use_pallas_infer=self.use_pallas_infer,
             name="shared_radar",
         )(flat, train=train)
         feats = feats.reshape(b, r, -1)  # (B, R, feat_dim)
@@ -242,7 +290,7 @@ class VFELayer(nn.Module):
         y = nn.Dense(half, dtype=self.dtype, name="dense")(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
+            dtype=self.dtype, name="bn",
         )(y)
         y = nn.relu(y)
         agg = masked_max(y, mask, axis=-2)  # (V, half)
@@ -324,7 +372,7 @@ class VoxelNetLiDAREncoder(nn.Module):
             )(voxels)
             voxels = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name=f"conv3d_bn{i + 1}",
+                dtype=self.dtype, name=f"conv3d_bn{i + 1}",
             )(voxels)
             voxels = nn.relu(voxels)
 

@@ -41,7 +41,7 @@ def _conv_bn_relu(x, ch, kernel, name, dtype, train):
     )(x)
     x = nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        dtype=jnp.float32, name=f"{name}_bn",
+        dtype=dtype, name=f"{name}_bn",
     )(x)
     return nn.relu(x)
 
@@ -332,7 +332,7 @@ class FlexibleAttentionFusion(nn.Module):
                 dtype=self.dtype,
                 name=f"self_attn_{layer}",
             )(x, x, x, train=train)
-            x = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{layer}")(
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm1_{layer}")(
                 x + attn_out
             )
             y = nn.Dense(
@@ -346,7 +346,7 @@ class FlexibleAttentionFusion(nn.Module):
                 y
             )
             y = nn.Dropout(s.dropout, deterministic=not train)(y)
-            x = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{layer}")(x + y)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm2_{layer}")(x + y)
 
         fused = jnp.mean(x, axis=1)  # (B, hidden)
         fused = nn.Dense(s.hidden_dim, dtype=self.dtype, name="out_proj1")(

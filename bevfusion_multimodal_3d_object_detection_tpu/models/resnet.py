@@ -40,7 +40,7 @@ class BasicBlock(nn.Module):
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
+            dtype=self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -54,7 +54,7 @@ class BasicBlock(nn.Module):
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn2",
+            dtype=self.dtype, name="bn2",
         )(y)
 
         if self.strides != 1 or residual.shape[-1] != self.channels:
@@ -68,7 +68,7 @@ class BasicBlock(nn.Module):
             )(residual)
             residual = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="downsample_bn",
+                dtype=self.dtype, name="downsample_bn",
             )(residual)
 
         return nn.relu(y + residual)
@@ -95,7 +95,7 @@ class ResNet18Trunk(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
+            dtype=self.dtype, name="bn1",
         )(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1)

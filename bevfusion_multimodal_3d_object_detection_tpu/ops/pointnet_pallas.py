@@ -71,31 +71,43 @@ def extract_folded_pointnet_weights(
 def _kernel(x_ref, *refs, block_points: int, widths: Sequence[int],
             mask_padding: bool, out_dtype):
     # refs: w1, b1, w2, b2, ..., out_ref
+    # out_ref maps the FULL (B, feat) array (TPU block-shape rules require
+    # the trailing dims of a block to be 8/128-aligned or whole); each grid
+    # step updates only its batch row via a dynamic slice.
     out_ref = refs[-1]
     wb = refs[:-1]
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
-    x = x_ref[0].astype(jnp.float32)  # (P, C_in)
+    compute_dtype = x_ref.dtype if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    x = x_ref[0].astype(compute_dtype)  # (P, C_in)
     if mask_padding:
         valid = jnp.any(x != 0.0, axis=-1, keepdims=True)  # (P, 1)
 
-    for i in range(len(widths)):
-        w = wb[2 * i][...].astype(jnp.float32)
-        b = wb[2 * i + 1][...].astype(jnp.float32)
+    for layer in range(len(widths)):
+        w = wb[2 * layer][...].astype(compute_dtype)
+        b = wb[2 * layer + 1][...].astype(jnp.float32)
         x = jnp.maximum(
             jnp.dot(x, w, preferred_element_type=jnp.float32) + b[None, :],
             0.0,
-        )
+        ).astype(compute_dtype)
 
     if mask_padding:
         x = jnp.where(valid, x, _NEG)
     block_max = jnp.max(x, axis=0, keepdims=True)  # (1, feat)
 
-    @pl.when(j == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         out_ref[...] = jnp.full_like(out_ref, _NEG)
 
-    out_ref[...] = jnp.maximum(out_ref[...], block_max.astype(out_dtype))
+    # single-row dynamic stores are tile-unaligned for bf16; update the whole
+    # small (B, feat) buffer with a row-masked max instead (aligned, cheap).
+    # Full-2D iota/broadcast: Mosaic can't relayout an (B, 1) bool mask.
+    full_shape = (out_ref.shape[0], out_ref.shape[1])
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, full_shape, 0)
+    bm = jnp.broadcast_to(block_max.astype(out_dtype), full_shape)
+    update = jnp.where(row_ids == i, bm, jnp.asarray(_NEG, out_dtype))
+    out_ref[...] = jnp.maximum(out_ref[...], update)
 
 
 @functools.partial(
@@ -123,7 +135,9 @@ def fused_pointnet(
         n = points.shape[1]
     widths = [w.shape[1] for w in weights]
     feat = widths[-1]
-    out_dtype = points.dtype
+    # f32 accumulator: Mosaic cannot relayout the (B, feat) i1 row mask under
+    # bf16's 16-sublane tiling; cast to the input dtype after the kernel
+    out_dtype = jnp.float32
     nblocks = n // block_points
 
     wb_specs = []
@@ -159,14 +173,14 @@ def fused_pointnet(
             *wb_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, feat), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (b, feat), lambda i, j: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, feat), out_dtype),
         interpret=interpret,
     )(points, *wb_args)
 
     # rows where everything was masked degrade to 0
-    return jnp.where(out <= _NEG, 0.0, out)
+    return jnp.where(out <= _NEG, 0.0, out).astype(points.dtype)
 
 
 def pointnet_encode_folded(
@@ -175,6 +189,7 @@ def pointnet_encode_folded(
     batch_stats: dict,
     num_layers: int = 5,
     mask_padding: bool = False,
+    block_points: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Convenience: run the fused kernel from a `_PointMLP` variables subtree
@@ -184,5 +199,5 @@ def pointnet_encode_folded(
     biases = [b for _, b in wb]
     return fused_pointnet(
         points, weights, biases, mask_padding=mask_padding,
-        interpret=interpret,
+        block_points=block_points, interpret=interpret,
     )

@@ -79,3 +79,21 @@ def test_fused_pointnet_pads_ragged_n():
     out = fused_pointnet(x, ws, bs, block_points=64, interpret=True)
     assert out.shape == (1, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encoder_pallas_infer_flag_matches_xla():
+    """PointNetLiDAREncoder(use_pallas_infer=True) must produce the same
+    features as the XLA path with the same params (eval mode)."""
+    spec = LidarEncoderSpec(
+        max_points=128, mlp_layers=(16, 32), input_channels=4
+    )
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(2, 128, 4), jnp.float32
+    )
+    ref_enc = PointNetLiDAREncoder(spec=spec)
+    variables = ref_enc.init({"params": RNG}, x)
+    want = np.asarray(ref_enc.apply(variables, x, train=False))
+
+    fast_enc = PointNetLiDAREncoder(spec=spec, use_pallas_infer=True)
+    got = np.asarray(fast_enc.apply(variables, x, train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
