@@ -120,6 +120,7 @@ class NuScenesDataset:
         depth_min: float = 1.0,
         depth_max: float = 60.0,
         use_native: bool = True,
+        emit_uint8: bool = False,
     ):
         if config is not None:
             ds = DataSpec.from_config(config)
@@ -143,6 +144,7 @@ class NuScenesDataset:
         self.rng = np.random.RandomState(seed)
         self.return_camera_cells = return_camera_cells
         self.use_native = use_native
+        self.emit_uint8 = emit_uint8
         self.bev_h, self.bev_w = bev_h, bev_w
         self.depth_bins = depth_bins
         self.depth_min, self.depth_max = depth_min, depth_max
@@ -167,10 +169,27 @@ class NuScenesDataset:
 
     def _load_cameras(self, info) -> np.ndarray:
         h, w = self.image_size
-        imgs = [
-            _load_image(self.data_root / info["cams"][cam]["filename"], h, w)
-            for cam in CAMERA_ORDER
-        ]
+        if self.emit_uint8:
+            # ship raw bytes; normalization happens on device inside the
+            # jitted step (ops/preprocess.normalize_images)
+            from PIL import Image
+
+            imgs = [
+                np.asarray(
+                    Image.open(self.data_root / info["cams"][cam]["filename"])
+                    .convert("RGB")
+                    .resize((w, h), Image.BILINEAR),
+                    np.uint8,
+                )
+                for cam in CAMERA_ORDER
+            ]
+        else:
+            imgs = [
+                _load_image(
+                    self.data_root / info["cams"][cam]["filename"], h, w
+                )
+                for cam in CAMERA_ORDER
+            ]
         return np.stack(imgs)  # (6, H, W, 3)
 
     def _load_lidar(self, info) -> np.ndarray:

@@ -71,8 +71,16 @@ def make_optimizer(train_spec: TrainSpec, compat: CompatFlags, steps_per_epoch: 
 
 
 def _model_inputs(spec: DetectorSpec, batch: Dict):
+    cams = batch["camera_imgs"] if spec.use_camera else None
+    if cams is not None and cams.dtype == jnp.uint8:
+        # uint8-on-the-wire: the pipeline ships raw bytes (4x less host->
+        # device traffic) and normalization happens on device inside the
+        # jitted step (ops/preprocess.py)
+        from ..ops.preprocess import normalize_images
+
+        cams = normalize_images(cams, size=spec.camera.image_size)
     return (
-        batch["camera_imgs"] if spec.use_camera else None,
+        cams,
         batch["lidar_points"] if spec.use_lidar else None,
         batch["radar_points"] if spec.use_radar else None,
     )

@@ -145,3 +145,32 @@ def test_synthetic_dataset_shapes():
     s = ds[0]
     assert s["camera_imgs"].shape == (6, *TINY_IMAGE, 3)
     assert s["gt_labels"].max() < 10
+
+
+def test_uint8_pipeline_matches_float(data_dir, tiny_spec):
+    """emit_uint8 + on-device normalization must equal the host-normalized
+    float path."""
+    import jax.numpy as jnp
+    from bevfusion_multimodal_3d_object_detection_tpu.train.loop import (
+        _model_inputs,
+    )
+
+    kw = dict(data_root=str(data_dir), split="train",
+              max_points=TINY_POINTS, max_radar_points=TINY_RADAR_POINTS,
+              image_size=TINY_IMAGE, seed=0)
+    ds_f = NuScenesDataset(emit_uint8=False, **kw)
+    ds_u = NuScenesDataset(emit_uint8=True, **kw)
+    bf = collate_fn([ds_f[0]], max_objects=8)
+    bu = collate_fn([ds_u[0]], max_objects=8)
+    assert bu["camera_imgs"].dtype == np.uint8
+    cams_f, _, _ = _model_inputs(
+        tiny_spec, {k: jnp.asarray(v) for k, v in bf.items()
+                    if isinstance(v, np.ndarray)}
+    )
+    cams_u, _, _ = _model_inputs(
+        tiny_spec, {k: jnp.asarray(v) for k, v in bu.items()
+                    if isinstance(v, np.ndarray)}
+    )
+    np.testing.assert_allclose(
+        np.asarray(cams_u), np.asarray(cams_f), atol=1e-5
+    )
