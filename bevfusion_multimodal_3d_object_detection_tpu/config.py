@@ -124,6 +124,10 @@ class CompatFlags:
     # Q13: PointNet max-pool does not mask zero-padded points
     # (encoders.py:298 with train_detect.py:187-189).
     unmasked_point_padding: bool = True
+    # Q7: the reference never reads train.loss_weights (train_detect.py:739);
+    # True keeps the CenterNetLoss constructor defaults (1,1,1,1,0.1);
+    # False honors the YAML values.
+    ignore_config_loss_weights: bool = True
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "CompatFlags":
@@ -494,6 +498,18 @@ class TrainSpec:
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "TrainSpec":
         t = _get(cfg, "train", default={}) or {}
+        compat = CompatFlags.from_config(cfg)
+        if compat.ignore_config_loss_weights:
+            loss_weights = (1.0, 1.0, 1.0, 1.0, 0.1)  # Q7: ctor defaults
+        else:
+            lw = t.get("loss_weights", {}) or {}
+            loss_weights = (
+                lw.get("heatmap", 1.0),
+                lw.get("offset", 1.0),
+                lw.get("size", 1.0),
+                lw.get("rotation", 1.0),
+                lw.get("velocity", 0.1),
+            )
         opt = t.get("optimizer", {}) or {}
         sched = t.get("lr_scheduler", {}) or {}
         clip = t.get("grad_clip", {}) or {}
@@ -502,6 +518,7 @@ class TrainSpec:
         return TrainSpec(
             num_epochs=t.get("num_epochs", 2),
             batch_size=t.get("batch_size", 4),
+            loss_weights=loss_weights,
             learning_rate=opt.get("lr", t.get("learning_rate", 1e-4)),
             weight_decay=opt.get(
                 "weight_decay", t.get("weight_decay", 0.01)

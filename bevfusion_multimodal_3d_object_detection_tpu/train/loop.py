@@ -243,21 +243,46 @@ class Trainer:
         return self.state
 
     # -- loops ---------------------------------------------------------------
-    def train_one_epoch(self, loader, log_every: int = 10) -> float:
+    def train_one_epoch(
+        self, loader, log_every: int = 10, log_file: Optional[str] = None
+    ) -> float:
         assert self.state is not None, "call init_state first"
+        import json
+        import time
+
         total, count = 0.0, 0
+        log_fh = open(log_file, "a") if log_file else None
         for i, batch in enumerate(loader):
+            t0 = time.perf_counter()
             batch = self._device_batch(batch)
             self.state, losses = self.train_step(self.state, batch, self.rng)
             loss = float(losses["total_loss"])
+            step_s = time.perf_counter() - t0
             total += loss
             count += 1
             if log_every and (i % log_every == 0):
                 print(
                     f"  step {int(self.state.step)}: "
                     f"loss={loss:.4f} "
-                    f"hm={float(losses.get('heatmap_loss', 0.0)):.4f}"
+                    f"hm={float(losses.get('heatmap_loss', 0.0)):.4f} "
+                    f"({step_s * 1000:.0f} ms)"
                 )
+            if log_fh:
+                log_fh.write(
+                    json.dumps(
+                        {
+                            "step": int(self.state.step),
+                            "step_seconds": round(step_s, 4),
+                            **{
+                                k: round(float(v), 6)
+                                for k, v in losses.items()
+                            },
+                        }
+                    )
+                    + "\n"
+                )
+        if log_fh:
+            log_fh.close()
         return total / max(count, 1)
 
     def evaluate(self, loader, score_thresh: float = 0.1) -> Dict:

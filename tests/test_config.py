@@ -93,3 +93,24 @@ def test_data_spec_from_yaml():
     assert ds.max_radar_points == 125
     assert ds.image_size == (448, 800)
     assert len(ds.classes) == 10
+
+
+def test_loss_weights_quirk_flag(tmp_path):
+    """Q7: train.loss_weights ignored by default; honored when the compat
+    flag is disabled."""
+    import yaml
+
+    cfg = {
+        "train": {"loss_weights": {"heatmap": 2.0, "offset": 3.0,
+                                   "size": 0.5, "rotation": 0.25,
+                                   "velocity": 0.7}},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    ts = TrainSpec.from_config(load_config(str(p)))
+    assert ts.loss_weights == (1.0, 1.0, 1.0, 1.0, 0.1)  # ctor defaults
+
+    cfg["compat"] = {"ignore_config_loss_weights": False}
+    p.write_text(yaml.safe_dump(cfg))
+    ts = TrainSpec.from_config(load_config(str(p)))
+    assert ts.loss_weights == (2.0, 3.0, 0.5, 0.25, 0.7)

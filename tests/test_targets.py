@@ -145,3 +145,21 @@ def test_targets_dense_maps_at_centers():
     np.testing.assert_allclose(
         np.asarray(out["offset"])[0, cy, cx], [px - cx, py - cy], atol=1e-5
     )
+
+
+def test_targets_at_2x_grid_resolution():
+    """BASELINE configs[4]: target assignment at a 100x100 BEV grid
+    (voxel 1.024 m) — same semantics, finer pixels."""
+    boxes = np.zeros((1, 2, 7), np.float32)
+    boxes[0, 0] = [10.0, -20.0, 0.0, 2.0, 4.0, 1.5, 0.5]
+    boxes[0, 1] = [-30.0, 5.0, 0.0, 1.0, 1.0, 2.0, 0.0]
+    labels = np.array([[0, 7]], np.int64)
+    out = prepare_centernet_targets(boxes, labels, bev_size=(100, 100))
+    assert out["heatmap"].shape == (1, 100, 100, 10)
+    hm_ref, ind_ref, mask_ref, off_ref, size_ref, rot_ref = naive_targets(
+        boxes, labels, bev=(100, 100)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["heatmap"]).transpose(0, 3, 1, 2), hm_ref, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out["ind"]), ind_ref)

@@ -102,9 +102,30 @@ def main(config_path: str | None = None) -> None:
     save_dir = Path(train_spec.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
 
+    # honor debug.profile (declared-but-dead in the reference,
+    # configs/base.yaml:643): trace the first training epoch
+    profile = (config.get("debug", {}) or {}).get("profile", False)
+    log_dir = Path(
+        ((config.get("train", {}) or {}).get("logging", {}) or {}).get(
+            "log_dir", "./logs"
+        )
+    )
+    log_dir.mkdir(parents=True, exist_ok=True)
+    log_file = str(log_dir / "train_log.jsonl")
+
     for epoch in range(start_epoch, train_spec.num_epochs):
         t0 = time.time()
-        avg_loss = trainer.train_one_epoch(train_loader)
+        if profile and epoch == start_epoch:
+            from bevfusion_multimodal_3d_object_detection_tpu.utils.profiling import (
+                profile_trace,
+            )
+
+            with profile_trace(str(log_dir / "profile")):
+                avg_loss = trainer.train_one_epoch(
+                    train_loader, log_file=log_file
+                )
+        else:
+            avg_loss = trainer.train_one_epoch(train_loader, log_file=log_file)
         print(
             f"Epoch {epoch}: loss={avg_loss:.4f} "
             f"({time.time() - t0:.1f}s)"
