@@ -128,6 +128,11 @@ class CompatFlags:
     # True keeps the CenterNetLoss constructor defaults (1,1,1,1,0.1);
     # False honors the YAML values.
     ignore_config_loss_weights: bool = True
+    # Q14: the reference declares dataset.augmentation but never applies it
+    # (configs/base.yaml:86-114 vs train_detect.py:123-145). True = no
+    # augmentation (reference behavior); False = apply the declared
+    # augmentations on device (ops/augment.py).
+    skip_augmentation: bool = True
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "CompatFlags":
@@ -541,6 +546,44 @@ class TrainSpec:
             seed=_get(cfg, "seed", default=42),
             resume_enable=resume.get("enable", False),
             resume_path=resume.get("checkpoint_path"),
+        )
+
+
+@dataclass(frozen=True)
+class AugmentSpec:
+    """dataset.augmentation block (configs/base.yaml:86-114) — applied on
+    device only when compat.skip_augmentation is False (Q14)."""
+
+    camera_enable: bool = True
+    lidar_enable: bool = True
+    radar_enable: bool = True
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    scale_min: float = 0.95
+    scale_max: float = 1.05
+    lidar_flip: bool = True
+    noise_std: float = 0.01
+
+    @staticmethod
+    def from_config(cfg: Optional[Dict]) -> "AugmentSpec":
+        a = _get(cfg, "dataset", "augmentation", default={}) or {}
+        cam = a.get("camera", {}) or {}
+        jitter = cam.get("color_jitter", {}) or {}
+        lid = a.get("lidar", {}) or {}
+        scale = lid.get("random_scale", (0.95, 1.05))
+        rad = a.get("radar", {}) or {}
+        return AugmentSpec(
+            camera_enable=cam.get("enable", True),
+            lidar_enable=lid.get("enable", True),
+            radar_enable=rad.get("enable", True),
+            brightness=jitter.get("brightness", 0.2),
+            contrast=jitter.get("contrast", 0.2),
+            saturation=jitter.get("saturation", 0.2),
+            scale_min=scale[0],
+            scale_max=scale[1],
+            lidar_flip=lid.get("random_flip", True),
+            noise_std=rad.get("noise_std", 0.01),
         )
 
 

@@ -98,24 +98,49 @@ def make_train_step(
     tx,
     train_spec: TrainSpec,
     compat: CompatFlags,
+    augment: Optional["AugmentSpec"] = None,
 ) -> Callable:
     """Returns jitted train_step(state, batch, rng) -> (state, loss_dict)."""
+    from ..config import AugmentSpec
+
     spec = model.spec
     bev_size = (spec.bev.bev_h, spec.bev.bev_w)
+    aug = augment if augment is not None else AugmentSpec()
+    do_augment = not compat.skip_augmentation  # Q14
 
     def loss_fn(params, batch_stats, batch, rng):
+        cams, lidar, radar = _model_inputs(spec, batch)
+        gt_boxes = batch["gt_boxes"]
+        aug_rng, dropout_rng = jax.random.split(rng)
+        if do_augment:
+            from ..ops.augment import color_jitter, lidar_flip_scale, radar_noise
+
+            kc, kl, kr = jax.random.split(aug_rng, 3)
+            if cams is not None and aug.camera_enable:
+                cams = color_jitter(
+                    kc, cams, aug.brightness, aug.contrast, aug.saturation
+                )
+            if lidar is not None and aug.lidar_enable:
+                lidar, gt_boxes = lidar_flip_scale(
+                    kl, lidar, gt_boxes, aug.scale_min, aug.scale_max
+                )
+            if radar is not None and aug.radar_enable:
+                radar = radar_noise(kr, radar, aug.noise_std)
+
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(
             variables,
-            *_model_inputs(spec, batch),
+            cams,
+            lidar,
+            radar,
             train=True,
             mutable=["batch_stats"],
-            rngs={"dropout": rng},
+            rngs={"dropout": dropout_rng},
             **_model_kwargs(spec, batch),
         )
         if spec.head_is_centernet:
             targets = prepare_centernet_targets(
-                batch["gt_boxes"],
+                gt_boxes,
                 batch["gt_labels"],
                 pc_range=spec.bev.pc_range,
                 bev_size=bev_size,
@@ -128,9 +153,7 @@ def make_train_step(
                 double_sigmoid=compat.double_sigmoid_focal,
             )
         else:
-            targets = prepare_mlp_targets(
-                batch["gt_boxes"], batch["gt_labels"]
-            )
+            targets = prepare_mlp_targets(gt_boxes, batch["gt_labels"])
             losses = detection_loss(preds, targets)
         return losses["total_loss"], (mutated["batch_stats"], losses)
 
@@ -206,6 +229,7 @@ class Trainer:
         mesh=None,
         steps_per_epoch: int = 1,
         init_rng: Optional[jax.Array] = None,
+        augment=None,
     ):
         self.model = model
         self.spec = model.spec
@@ -213,7 +237,9 @@ class Trainer:
         self.compat = compat
         self.mesh = mesh
         self.tx = make_optimizer(train_spec, compat, steps_per_epoch)
-        self.train_step = make_train_step(model, self.tx, train_spec, compat)
+        self.train_step = make_train_step(
+            model, self.tx, train_spec, compat, augment=augment
+        )
         self.eval_step = make_eval_step(model, compat)
         self.rng = (
             init_rng

@@ -223,3 +223,148 @@ def save_and_print_metrics(
     with open(save_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"\nMetrics saved to {save_path}")
+
+
+# ---------------------------------------------------------------------------
+# Official-style nuScenes metrics (upgrade path)
+# ---------------------------------------------------------------------------
+
+
+def _global_class_matches(
+    predictions, ground_truths, cls, threshold
+):
+    """Accumulate (score, is_tp, match_errors) for one class across ALL
+    samples — the official protocol (the reference averages per-sample APs
+    instead, utils_v2.py:177-184)."""
+    rows = []  # (score, tp, ate, ase, aoe, ave)
+    total_gt = 0
+    for si, (pred, gt) in enumerate(zip(predictions, ground_truths)):
+        gt_boxes = np.asarray(gt["boxes"])
+        gt_labels = np.asarray(gt["labels"])
+        keep = gt_labels >= 0
+        gt_boxes, gt_labels = gt_boxes[keep], gt_labels[keep]
+        cls_gts = gt_boxes[gt_labels == cls]
+        gt_vel = None
+        if "velocities" in gt:
+            gt_vel = np.asarray(gt["velocities"])[keep][gt_labels == cls]
+        total_gt += len(cls_gts)
+
+        p_mask = np.asarray(pred["labels"]) == cls
+        cls_preds = np.asarray(pred["boxes"])[p_mask]
+        cls_scores = np.asarray(pred["scores"])[p_mask]
+        pred_vel = None
+        if "velocities" in pred:
+            pred_vel = np.asarray(pred["velocities"])[p_mask]
+
+        taken = np.zeros(len(cls_gts), dtype=bool)
+        order = np.argsort(-cls_scores)
+        for pi in order:
+            pb = cls_preds[pi]
+            best_d, best_gi = np.inf, -1
+            for gi, gb in enumerate(cls_gts):
+                if taken[gi]:
+                    continue
+                d = float(np.hypot(pb[0] - gb[0], pb[1] - gb[1]))
+                if d < best_d:
+                    best_d, best_gi = d, gi
+            if best_gi >= 0 and best_d <= threshold:
+                taken[best_gi] = True
+                gb = cls_gts[best_gi]
+                # ASE = 1 - IoU of size-aligned boxes
+                mins = np.minimum(pb[3:6], gb[3:6])
+                maxs = np.maximum(pb[3:6], gb[3:6])
+                iou = float(np.prod(mins) / max(np.prod(maxs), 1e-9))
+                ang = pb[6] - gb[6]
+                aoe = abs(float(np.arctan2(np.sin(ang), np.cos(ang))))
+                ave = 0.0
+                if pred_vel is not None and gt_vel is not None and len(gt_vel):
+                    ave = float(
+                        np.linalg.norm(pred_vel[pi] - gt_vel[best_gi])
+                    )
+                rows.append((cls_scores[pi], 1, best_d, 1 - iou, aoe, ave))
+            else:
+                rows.append((cls_scores[pi], 0, 0.0, 0.0, 0.0, 0.0))
+    return rows, total_gt
+
+
+def _official_ap(rows, total_gt, min_recall=0.1, min_precision=0.1):
+    """nuScenes AP: 101-point interpolated precision, operating points with
+    recall or precision below 10% removed, normalized."""
+    if total_gt == 0 or not rows:
+        return 0.0
+    rows = sorted(rows, key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in rows])
+    fp = np.cumsum([1 - r[1] for r in rows])
+    recall = tp / total_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    r_grid = np.linspace(0, 1, 101)
+    p_interp = np.interp(r_grid, recall, precision, right=0.0)
+    sel = p_interp[int(round(100 * min_recall)) + 1 :]
+    sel = np.maximum(sel - min_precision, 0.0)
+    return float(np.mean(sel) / (1.0 - min_precision))
+
+
+def compute_metrics_official(
+    predictions: List[Dict],
+    ground_truths: List[Dict],
+    num_classes: int = 10,
+    dist_ths=(0.5, 1.0, 2.0, 4.0),
+    tp_threshold: float = 2.0,
+) -> Dict[str, object]:
+    """Official-style nuScenes detection metrics (upgrade path; the
+    reference's simplified per-sample variant stays the default):
+
+    - AP per class averaged over the 4 center-distance thresholds
+      (metrics.nuscenes.dist_ths, finally honored),
+    - global (cross-sample) PR accumulation with 101-pt interpolation and
+      the 10% recall/precision cutoffs,
+    - TP errors (ATE/ASE/AOE/AVE) on matches at 2.0 m,
+    - NDS = (5*mAP + sum(1 - min(1, mTP))) / 10 with mAAE fixed at its worst
+      value 1.0 (attributes are not modeled in this pipeline).
+    """
+    class_aps = []
+    ates, ases, aoes, aves = [], [], [], []
+    for cls in range(num_classes):
+        th_aps = []
+        for th in dist_ths:
+            rows, total_gt = _global_class_matches(
+                predictions, ground_truths, cls, th
+            )
+            th_aps.append(_official_ap(rows, total_gt))
+            if th == tp_threshold:
+                tp_rows = [r for r in rows if r[1] == 1]
+                if tp_rows:
+                    ates.extend(r[2] for r in tp_rows)
+                    ases.extend(r[3] for r in tp_rows)
+                    aoes.extend(r[4] for r in tp_rows)
+                    aves.extend(r[5] for r in tp_rows)
+        class_aps.append(float(np.mean(th_aps)))
+
+    m_ap = float(np.mean(class_aps))
+    m_ate = float(np.mean(ates)) if ates else 1.0
+    m_ase = float(np.mean(ases)) if ases else 1.0
+    m_aoe = float(np.mean(aoes)) if aoes else 1.0
+    m_ave = float(np.mean(aves)) if aves else 1.0
+    m_aae = 1.0  # attributes not modeled
+
+    tp_scores = [
+        1 - min(1.0, m_ate),
+        1 - min(1.0, m_ase),
+        1 - min(1.0, m_aoe),
+        1 - min(1.0, m_ave),
+        1 - min(1.0, m_aae),
+    ]
+    nds = float((5 * m_ap + sum(tp_scores)) / 10.0)
+
+    return {
+        "mAP": m_ap,
+        "NDS": nds,
+        "mATE": m_ate,
+        "mASE": m_ase,
+        "mAOE": m_aoe,
+        "mAVE": m_ave,
+        "mAAE": m_aae,
+        "AP_per_class": {
+            DEFAULT_CLASSES[i]: class_aps[i] for i in range(num_classes)
+        },
+    }

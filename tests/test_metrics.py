@@ -87,3 +87,54 @@ def test_metrics_file_format(tmp_path):
     assert text[2].startswith("NDS : ")
     assert text[4] == "--- AP Per Class ---"
     assert len(text) == 5 + 10  # 10 class rows
+
+
+def test_official_metrics_perfect_predictions():
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        compute_metrics_official,
+    )
+
+    gt = {"boxes": np.array([_box(0, 0), _box(20, 20)]),
+          "labels": np.array([0, 0]),
+          "velocities": np.zeros((2, 2))}
+    pred = {"boxes": np.array([_box(0, 0), _box(20, 20)]),
+            "scores": np.array([0.9, 0.8]),
+            "labels": np.array([0, 0]),
+            "velocities": np.zeros((2, 2))}
+    m = compute_metrics_official([pred], [gt], num_classes=1)
+    assert m["mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert m["mATE"] == 0.0 and m["mASE"] == pytest.approx(0.0, abs=1e-6)
+    # perfect TP errors but mAAE pinned at worst: NDS = (5 + 4) / 10
+    assert m["NDS"] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_official_metrics_distance_threshold_sensitivity():
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        compute_metrics_official,
+    )
+
+    gt = {"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}
+    # 1.5 m off: matches at thresholds 2 and 4 but not 0.5 and 1
+    pred = {"boxes": np.array([_box(1.5, 0)]), "scores": np.array([0.9]),
+            "labels": np.array([0])}
+    m = compute_metrics_official([pred], [gt], num_classes=1)
+    assert 0.3 < m["mAP"] < 0.7  # roughly 2 of 4 thresholds
+
+
+def test_official_metrics_global_accumulation():
+    """Scores must rank globally across samples (unlike the reference's
+    per-sample AP averaging)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        compute_metrics_official,
+    )
+
+    # sample 1: one gt, matched with low score; sample 2: a high-score FP
+    gt1 = {"boxes": np.array([_box(0, 0)]), "labels": np.array([0])}
+    pred1 = {"boxes": np.array([_box(0, 0)]), "scores": np.array([0.3]),
+             "labels": np.array([0])}
+    gt2 = {"boxes": np.zeros((0, 7)), "labels": np.zeros(0, np.int64)}
+    pred2 = {"boxes": np.array([_box(30, 30)]), "scores": np.array([0.9]),
+             "labels": np.array([0])}
+    m = compute_metrics_official([pred1, pred2], [gt1, gt2], num_classes=1)
+    # the FP outranks the TP globally -> max precision at recall 1 is 0.5
+    assert m["mAP"] < 0.6
