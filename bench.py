@@ -47,7 +47,7 @@ def get_cpu_baseline() -> float:
     return sps
 
 
-def measure_tpu(batch_sizes=(1, 4, 8), warmup=2, iters=8) -> float:
+def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
     )

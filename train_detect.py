@@ -136,6 +136,20 @@ def main(config_path: str | None = None) -> None:
             trainer.save_checkpoint(
                 str(save_dir / f"checkpoint_epoch_{epoch}.msgpack"), epoch
             )
+            # honor train.checkpoint.keep_last (declared in the reference
+            # config but unimplemented there)
+            keep_last = (
+                (config.get("train", {}) or {})
+                .get("checkpoint", {})
+                .get("keep_last", 0)
+            )
+            if keep_last and keep_last > 0:
+                ckpts = sorted(
+                    save_dir.glob("checkpoint_epoch_*.msgpack"),
+                    key=lambda p: int(p.stem.split("_")[-1]),
+                )
+                for old in ckpts[:-keep_last]:
+                    old.unlink()
         metrics = trainer.evaluate(val_loader)
         save_and_print_metrics(metrics, "metrics_output.txt")
         if train_spec.save_best and metrics["mAP"] > trainer.best_map:
