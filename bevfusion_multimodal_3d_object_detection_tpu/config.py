@@ -492,6 +492,7 @@ class TrainSpec:
     lr_t_max: int = 50
     lr_eta_min: float = 1e-6
     warmup_epochs: int = 0
+    warmup_initial_lr: float = 1e-5
     save_dir: str = "./checkpoints"
     save_interval: int = 5
     save_best: bool = True
@@ -517,6 +518,7 @@ class TrainSpec:
             )
         opt = t.get("optimizer", {}) or {}
         sched = t.get("lr_scheduler", {}) or {}
+        warm = t.get("warmup", {}) or {}
         clip = t.get("grad_clip", {}) or {}
         ckpt = t.get("checkpoint", {}) or {}
         resume = t.get("resume", {}) or {}
@@ -540,6 +542,10 @@ class TrainSpec:
             ),
             lr_t_max=sched.get("T_max", 50),
             lr_eta_min=sched.get("eta_min", 1e-6),
+            warmup_epochs=(
+                warm.get("epochs", 5) if warm.get("enable", False) else 0
+            ),
+            warmup_initial_lr=warm.get("initial_lr", 1e-5),
             save_dir=ckpt.get("save_dir", "./checkpoints"),
             save_interval=ckpt.get("save_interval", 5),
             save_best=ckpt.get("save_best", True),

@@ -128,8 +128,10 @@ class InferenceEngine:
         )
 
     def load_model(self, model_path: str) -> None:
-        """Load a checkpoint saved by the Trainer; tolerant of missing keys
-        (the reference loads strict=False, eval.py:211)."""
+        """Load a checkpoint saved by the Trainer — or a torch `.pth`
+        checkpoint in the REFERENCE framework's format (migrated through
+        utils/reference_convert.py). Tolerant of missing keys (the reference
+        loads strict=False, eval.py:211)."""
         rng = jax.random.PRNGKey(0)
         dummy = self._dummy_sample()
         variables = self.model.init(
@@ -140,11 +142,21 @@ class InferenceEngine:
             "batch_stats": variables.get("batch_stats", {}),
         }
         try:
-            restored = load_checkpoint(model_path, template)
-            self.variables = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
+            if str(model_path).endswith((".pth", ".pt")):
+                from .utils.reference_convert import (
+                    load_reference_checkpoint_into,
+                )
+
+                self.variables = load_reference_checkpoint_into(
+                    template, model_path
+                )
+                print(f"Migrated reference torch checkpoint {model_path}")
+            else:
+                restored = load_checkpoint(model_path, template)
+                self.variables = {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
         except Exception as e:
             print(f"Warning: failed to restore '{model_path}' ({e}); "
                   f"using random init")

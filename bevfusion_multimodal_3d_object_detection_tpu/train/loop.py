@@ -48,14 +48,31 @@ class TrainState(flax.struct.PyTreeNode):
 
 def make_optimizer(train_spec: TrainSpec, compat: CompatFlags, steps_per_epoch: int = 1):
     if compat.constant_lr or train_spec.lr_schedule == "constant":
+        # Q6: the reference constructs a scheduler but never steps it
         lr = train_spec.learning_rate
     else:
-        # CosineAnnealingLR over T_max epochs (corrected Q6 path)
-        lr = optax.cosine_decay_schedule(
+        # corrected path: CosineAnnealingLR over T_max epochs, with the
+        # declared-but-dead train.warmup block honored when enabled
+        cosine = optax.cosine_decay_schedule(
             init_value=train_spec.learning_rate,
             decay_steps=max(1, train_spec.lr_t_max * steps_per_epoch),
             alpha=train_spec.lr_eta_min / train_spec.learning_rate,
         )
+        if train_spec.warmup_epochs > 0:
+            warmup_steps = max(1, train_spec.warmup_epochs * steps_per_epoch)
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(
+                        init_value=train_spec.warmup_initial_lr,
+                        end_value=train_spec.learning_rate,
+                        transition_steps=warmup_steps,
+                    ),
+                    cosine,
+                ],
+                boundaries=[warmup_steps],
+            )
+        else:
+            lr = cosine
     tx = optax.adamw(
         learning_rate=lr,
         b1=train_spec.betas[0],

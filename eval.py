@@ -39,6 +39,7 @@ def main(config_path: str | None = None) -> dict:
     from bevfusion_multimodal_3d_object_detection_tpu.data import (
         DataLoader,
         NuScenesDataset,
+        collate_fn,
     )
     from bevfusion_multimodal_3d_object_detection_tpu.models import (
         MultiModal3DDetector,
@@ -83,12 +84,7 @@ def main(config_path: str | None = None) -> dict:
         spec=spec, mask_padding=not compat.unmasked_point_padding
     )
     trainer = Trainer(model, train_spec, compat)
-    trainer.init_state(
-        __import__(
-            "bevfusion_multimodal_3d_object_detection_tpu.data",
-            fromlist=["collate_fn"],
-        ).collate_fn([val_ds[0]])
-    )
+    trainer.init_state(collate_fn([val_ds[0]]))
 
     ckpt = Path("./checkpoints/best_model.msgpack")
     if ckpt.exists():

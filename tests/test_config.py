@@ -114,3 +114,38 @@ def test_loss_weights_quirk_flag(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     ts = TrainSpec.from_config(load_config(str(p)))
     assert ts.loss_weights == (2.0, 3.0, 0.5, 0.25, 0.7)
+
+
+def test_warmup_schedule_wiring(tmp_path):
+    """Corrected Q6: with constant_lr disabled + warmup enabled the optimizer
+    LR ramps from initial_lr before the cosine decay."""
+    import optax
+    import yaml
+
+    from bevfusion_multimodal_3d_object_detection_tpu.train.loop import (
+        make_optimizer,
+    )
+
+    cfg = {
+        "train": {
+            "optimizer": {"lr": 1e-3},
+            "lr_scheduler": {"type": "CosineAnnealingLR", "T_max": 10},
+            "warmup": {"enable": True, "epochs": 2, "initial_lr": 1e-5},
+        },
+        "compat": {"constant_lr": False},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    ts = TrainSpec.from_config(load_config(str(p)))
+    assert ts.warmup_epochs == 2
+    # steps_per_epoch=10 -> 20 warmup steps
+    tx = make_optimizer(ts, CompatFlags(constant_lr=False), steps_per_epoch=10)
+    import jax.numpy as jnp
+
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    # first update is near the warmup initial lr, far below peak
+    updates, state = tx.update(grads, state, params)
+    first_step = abs(float(updates["w"][0]))
+    assert first_step < 2e-4  # << peak 1e-3

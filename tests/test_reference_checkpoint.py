@@ -148,3 +148,44 @@ def test_reference_checkpoint_full_model_parity():
             got, want, atol=2e-3, rtol=1e-2,
             err_msg=f"mismatch in {key}",
         )
+
+
+def test_inference_engine_loads_reference_pth(tmp_path):
+    """InferenceEngine accepts a reference-format torch .pth directly."""
+    import yaml
+
+    from bevfusion_multimodal_3d_object_detection_tpu.inference_engine import (
+        InferenceEngine,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        load_config,
+    )
+    import pathlib
+
+    torch.manual_seed(1)
+    tmodel = TorchReferenceDetector().eval()
+    sd = _reference_style_state_dict(tmodel)
+    ckpt = tmp_path / "reference_model.pth"
+    torch.save({"model_state_dict": sd, "epoch": 3}, ckpt)
+
+    cfg = load_config(
+        str(pathlib.Path(__file__).parents[1] / "configs" / "base.yaml")
+    )
+    cfg["model"]["camera_encoder"]["input_size"] = [32, 64]
+    cfg["dataset"]["cameras"]["image_size"] = [32, 64]
+    cfg["dataset"]["max_points"] = {"lidar": 64, "radar_per_sensor": 16}
+    cfg["model"]["lidar_encoder"]["max_points"] = 64
+    cfg["model"]["radar_encoder"]["max_points_per_sensor"] = 16
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    engine = InferenceEngine(
+        model_path=str(ckpt), config_path=str(cfg_path)
+    )
+    # heatmap bias prior must have been overwritten by the torch weights:
+    hm_bias = np.asarray(
+        engine.variables["params"]["det_head"]["heatmap_head"]["conv2"]["bias"]
+    )
+    np.testing.assert_allclose(
+        hm_bias, tmodel.hm[2].bias.detach().numpy(), atol=1e-6
+    )
