@@ -174,3 +174,45 @@ def test_uint8_pipeline_matches_float(data_dir, tiny_spec):
     np.testing.assert_allclose(
         np.asarray(cams_u), np.asarray(cams_f), atol=1e-5
     )
+
+
+def test_read_radar_pcd_binary(tmp_path):
+    """Corrected-Q4 path: parse a synthetic binary PCD with nuScenes-style
+    fields."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        read_radar_pcd,
+    )
+
+    n = 7
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        "FIELDS x y z dyn_prop id rcs vx vy\n"
+        "SIZE 4 4 4 1 2 4 4 4\n"
+        "TYPE F F F I I F F F\n"
+        "COUNT 1 1 1 1 1 1 1 1\n"
+        f"WIDTH {n}\nHEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        "DATA binary\n"
+    ).encode("ascii")
+    rng = np.random.RandomState(0)
+    rec = np.zeros(
+        n,
+        dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"), ("dyn_prop", "i1"),
+               ("id", "i2"), ("rcs", "f4"), ("vx", "f4"), ("vy", "f4")],
+    )
+    for name in ("x", "y", "z", "rcs", "vx", "vy"):
+        rec[name] = rng.randn(n).astype(np.float32)
+    path = tmp_path / "radar.pcd"
+    path.write_bytes(header + rec.tobytes())
+
+    out = read_radar_pcd(path, max_points=16)
+    assert out.shape == (16, 7)
+    np.testing.assert_allclose(out[:n, 0], rec["x"], atol=1e-6)
+    np.testing.assert_allclose(out[:n, 3], rec["vx"], atol=1e-6)
+    np.testing.assert_allclose(out[:n, 5], rec["rcs"], atol=1e-6)
+    np.testing.assert_array_equal(out[n:], 0.0)
+    # unreadable file -> zeros, no crash
+    bad = read_radar_pcd(tmp_path / "missing.pcd", max_points=4)
+    np.testing.assert_array_equal(bad, 0.0)

@@ -61,13 +61,15 @@ def main(config_path: str | None = None) -> None:
           f"{spec.detection_head}")
     print(f"Devices: {jax.devices()}")
 
+    # emit_uint8: images ship as raw bytes and are normalized on device
+    # inside the jitted step (4x less host->device traffic)
     train_ds = NuScenesDataset(
         data_root=data_spec.data_root, split="train", config=config,
-        seed=train_spec.seed,
+        seed=train_spec.seed, emit_uint8=True,
     )
     val_ds = NuScenesDataset(
         data_root=data_spec.data_root, split="val", config=config,
-        seed=train_spec.seed,
+        seed=train_spec.seed, emit_uint8=True,
     )
     train_loader = DataLoader(
         train_ds, batch_size=train_spec.batch_size, shuffle=True,
