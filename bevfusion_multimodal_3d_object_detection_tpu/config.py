@@ -128,6 +128,10 @@ class CompatFlags:
     # True keeps the CenterNetLoss constructor defaults (1,1,1,1,0.1);
     # False honors the YAML values.
     ignore_config_loss_weights: bool = True
+    # Q7-family: train.mixed_precision.enable is declared (and true!) in the
+    # reference config but never read (no autocast exists). True = ignore it
+    # like the reference (f32 training); False = honor it (bf16 compute).
+    ignore_mixed_precision: bool = True
     # Q14: the reference declares dataset.augmentation but never applies it
     # (configs/base.yaml:86-114 vs train_detect.py:123-145). True = no
     # augmentation (reference behavior); False = apply the declared
@@ -497,6 +501,10 @@ class TrainSpec:
     save_interval: int = 5
     save_best: bool = True
     seed: int = 42
+    # train.mixed_precision.enable — declared in the reference config but
+    # never read there (no autocast call exists; SURVEY §2 parallelism
+    # statement). Here: bf16 compute with f32 parameters/optimizer state.
+    mixed_precision: bool = False
     max_objects: int = 500
     resume_enable: bool = False
     resume_path: Optional[str] = None
@@ -550,6 +558,12 @@ class TrainSpec:
             save_interval=ckpt.get("save_interval", 5),
             save_best=ckpt.get("save_best", True),
             seed=_get(cfg, "seed", default=42),
+            mixed_precision=(
+                not compat.ignore_mixed_precision
+                and _get(
+                    cfg, "train", "mixed_precision", "enable", default=False
+                )
+            ),
             resume_enable=resume.get("enable", False),
             resume_path=resume.get("checkpoint_path"),
         )

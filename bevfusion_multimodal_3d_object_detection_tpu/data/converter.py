@@ -131,6 +131,9 @@ class ConfigDrivenNuScenesConverter:
         self.split_ratios = d.get(
             "split_ratios", {"train": 0.7, "val": 0.2, "test": 0.1}
         )
+        # 'ratio' = reference behavior (quirk Q11); 'official' uses the
+        # devkit's mini_train/mini_val scene lists
+        self.split_mode = d.get("split_mode", "ratio")
         self.out_dir = Path(self.data_root)
 
         try:
@@ -291,6 +294,17 @@ class ConfigDrivenNuScenesConverter:
 
     # -- splits ------------------------------------------------------------------
     def _get_split_scenes(self, split: str) -> List[str]:
+        if getattr(self, "split_mode", "ratio") == "official":
+            # corrected Q11: official mini_train / mini_val scene lists from
+            # the devkit instead of the reference's ratio split
+            from nuscenes.utils import splits as nusc_splits
+
+            if split == "train":
+                return list(nusc_splits.mini_train)
+            if split in ("val", "test"):
+                return list(nusc_splits.mini_val)
+            raise ValueError(f"Unknown split: {split}")
+
         all_scenes = [s["name"] for s in self.nusc.scene]
         n = len(all_scenes)
         train_end = int(n * self.split_ratios["train"])

@@ -149,3 +149,18 @@ def test_warmup_schedule_wiring(tmp_path):
     updates, state = tx.update(grads, state, params)
     first_step = abs(float(updates["w"][0]))
     assert first_step < 2e-4  # << peak 1e-3
+
+
+def test_mixed_precision_quirk_flag(tmp_path):
+    """train.mixed_precision.enable is declared true in the reference config
+    but never read there; honored only when the compat flag is disabled."""
+    import yaml
+
+    cfg = {"train": {"mixed_precision": {"enable": True}}}
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert not TrainSpec.from_config(load_config(str(p))).mixed_precision
+
+    cfg["compat"] = {"ignore_mixed_precision": False}
+    p.write_text(yaml.safe_dump(cfg))
+    assert TrainSpec.from_config(load_config(str(p))).mixed_precision

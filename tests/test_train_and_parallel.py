@@ -161,3 +161,16 @@ def test_view_parallel_camera_sharding(tiny_spec):
     np.testing.assert_allclose(
         np.asarray(ref["heatmap"]), np.asarray(out["heatmap"]), atol=1e-5
     )
+
+
+def test_bf16_train_step_runs(tiny_spec):
+    """Mixed-precision (bf16 compute, f32 params) train step produces finite
+    loss and f32 parameter updates."""
+    model = MultiModal3DDetector(spec=tiny_spec, dtype=jnp.bfloat16)
+    trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
+    batch = tiny_batch()
+    trainer.init_state(batch)
+    leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert leaf.dtype == jnp.float32  # params stay f32
+    state, losses = trainer.train_step(trainer.state, batch, trainer.rng)
+    assert np.isfinite(float(losses["total_loss"]))

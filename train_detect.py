@@ -86,8 +86,13 @@ def main(config_path: str | None = None) -> None:
         mesh = make_mesh(par.data_parallel, par.view_parallel)
         print(f"Mesh: {mesh}")
 
+    import jax.numpy as jnp
+
     model = MultiModal3DDetector(
-        spec=spec, mask_padding=not compat.unmasked_point_padding
+        spec=spec,
+        mask_padding=not compat.unmasked_point_padding,
+        # bf16 compute with f32 params when train.mixed_precision is honored
+        dtype=jnp.bfloat16 if train_spec.mixed_precision else jnp.float32,
     )
     trainer = Trainer(
         model, train_spec, compat, mesh=mesh,
