@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -74,25 +75,82 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+def _space_to_depth_conv1(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """7x7/stride-2 conv expressed as a 4x4/stride-1 conv on a 2x2
+    space-to-depth input — the classic TPU stem optimization: C_in goes 3->12
+    and the stride moves into a reshape, quadrupling MXU contraction-depth
+    utilization. Numerically identical to the direct conv (same kernel,
+    zero-padded 7->8 and regrouped)."""
+    h, w = x.shape[1], x.shape[2]
+    # pad like the direct conv's ((3,3),(3,3)); H+6 and W+6 are even for
+    # even inputs
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    b, hp, wp, c = xp.shape
+    j = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    j = j.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+
+    # kernel (7,7,C,O) -> pad to (8,8,C,O) -> (4,4,4C,O) with matching
+    # (r,s,c) flattening
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    o = kernel.shape[-1]
+    kprime = (
+        k8.reshape(4, 2, 4, 2, c, o)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * c, o)
+    )
+    return jax.lax.conv_general_dilated(
+        j,
+        kprime.astype(j.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ResNet18Trunk(nn.Module):
     """ResNet-18 through layer3 (stride 16). Input NHWC (N, H, W, 3);
-    output (N, H/16, W/16, 256)."""
+    output (N, H/16, W/16, 256).
+
+    `space_to_depth=True` computes the stem conv on a 2x2 space-to-depth
+    input (same parameters — checkpoints interchange freely). Measured on a
+    v5e (bf16, 192x448x800): the direct conv is FASTER (50.3 vs 57.9 ms for
+    the full trunk) — XLA's own stem lowering already handles the thin-C_in
+    case well, so this stays off by default and exists as a verified
+    alternative."""
 
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (2, 2, 2)
     stage_channels: Sequence[int] = (64, 128, 256)
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            conv1 = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv1",
+            )
+            # materialize conv1's params without running the direct conv
+            if self.is_initializing():
+                x = conv1(x)
+            else:
+                kernel = self.get_variable("params", "conv1")["kernel"]
+                x = _space_to_depth_conv1(x.astype(self.dtype), kernel)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",

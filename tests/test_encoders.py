@@ -119,3 +119,21 @@ def test_voxelnet_encoder_shape():
     x = jax.random.normal(RNG, (1, 256, 4)) * 20.0
     variables = enc.init({"params": RNG}, x)
     assert enc.apply(variables, x).shape == (1, 1024)
+
+
+def test_space_to_depth_stem_matches_direct_conv():
+    """s2d conv1 must be numerically identical to the direct 7x7/s2 conv
+    with the SAME parameters (checkpoint-compatible)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.models.resnet import (
+        ResNet18Trunk,
+    )
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 64, 3), jnp.float32
+    )
+    direct = ResNet18Trunk(space_to_depth=False)
+    s2d = ResNet18Trunk(space_to_depth=True)
+    variables = direct.init({"params": RNG}, x)
+    a = np.asarray(direct.apply(variables, x, train=False))
+    b = np.asarray(s2d.apply(variables, x, train=False))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
