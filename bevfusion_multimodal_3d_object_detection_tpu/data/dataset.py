@@ -257,7 +257,7 @@ class NuScenesDataset:
         camera-to-BEV path (ops.bev_splat.precompute_frustum_cells); -1 for
         out-of-range frustum points."""
         from ..ops.bev_splat import precompute_frustum_cells
-        from .converter import quat_inverse, quat_rotation_matrix
+        from .converter import quat_rotation_matrix
 
         h, w = self.image_size
         fh, fw = h // 16, w // 16  # camera encoder stride

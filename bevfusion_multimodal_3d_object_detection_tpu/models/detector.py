@@ -123,11 +123,8 @@ class MultiModal3DDetector(nn.Module):
             raise ValueError(f"Unknown fusion type: {s.fusion_type}")
 
         if s.head_is_centernet:
-            head_spec = s.centernet
-            if head_spec.in_channels != s.bev.bev_channels:
-                head_spec = s.centernet
             preds = CenterNetHead(
-                spec=head_spec, dtype=self.dtype, name="det_head"
+                spec=s.centernet, dtype=self.dtype, name="det_head"
             )(fused, train=train)
         else:
             # MLP head for non-spatial fusions (ref: fusion.py:1074-1088)

@@ -20,9 +20,6 @@ replicated, and jit inserts the gradient reductions over ICI.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax

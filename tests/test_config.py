@@ -119,7 +119,6 @@ def test_loss_weights_quirk_flag(tmp_path):
 def test_warmup_schedule_wiring(tmp_path):
     """Corrected Q6: with constant_lr disabled + warmup enabled the optimizer
     LR ramps from initial_lr before the cosine decay."""
-    import optax
     import yaml
 
     from bevfusion_multimodal_3d_object_detection_tpu.train.loop import (
