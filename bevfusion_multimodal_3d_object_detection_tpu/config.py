@@ -434,6 +434,7 @@ class DataSpec:
     num_cameras: int = 6
     num_radars: int = 5
     split_ratios: Tuple[float, float, float] = (0.7, 0.2, 0.1)
+    num_sweeps: int = 1
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -465,6 +466,7 @@ class DataSpec:
                 ratios.get("val", 0.2),
                 ratios.get("test", 0.1),
             ),
+            num_sweeps=d.get("num_sweeps", 1),
             image_mean=tuple(aug_norm.get("mean", (0.485, 0.456, 0.406))),
             image_std=tuple(aug_norm.get("std", (0.229, 0.224, 0.225))),
         )

@@ -134,6 +134,9 @@ class ConfigDrivenNuScenesConverter:
         # 'ratio' = reference behavior (quirk Q11); 'official' uses the
         # devkit's mini_train/mini_val scene lists
         self.split_mode = d.get("split_mode", "ratio")
+        # >1 adds a 'sweeps' list per info (prior LiDAR sweeps with poses for
+        # ego-motion-compensated aggregation; extra key, schema-compatible)
+        self.num_sweeps = d.get("num_sweeps", 1)
         self.out_dir = Path(self.data_root)
 
         try:
@@ -202,8 +205,15 @@ class ConfigDrivenNuScenesConverter:
 
         ann = self._get_annotations(sample, lidar_pose, lidar_calib)
 
+        sweeps: List[Dict] = []
+        if self.num_sweeps > 1:
+            sweeps = extract_sweeps(
+                self.nusc, lidar_token, self.num_sweeps - 1
+            )
+
         return {
             "token": sample_token,
+            "sweeps": sweeps,
             "timestamp": sample["timestamp"],
             "scene_token": sample["scene_token"],
             "lidar_path": lidar_path,
@@ -448,3 +458,69 @@ def write_synthetic_infos(
                 },
                 f,
             )
+
+
+# ---------------------------------------------------------------------------
+# Multi-sweep support (north-star: "multi-sweep point aggregation")
+# ---------------------------------------------------------------------------
+
+
+def sensor_to_global(pose: Dict, calib: Dict):
+    """Compose sensor->ego->global into (R, t) from {'rotation': quat,
+    'translation': xyz} dicts (nuScenes convention)."""
+    r_ego = quat_rotation_matrix(pose["rotation"])
+    t_ego = np.asarray(pose["translation"], np.float64)
+    r_sens = quat_rotation_matrix(calib["rotation"])
+    t_sens = np.asarray(calib["translation"], np.float64)
+    # x_global = r_ego @ (r_sens @ x + t_sens) + t_ego
+    return r_ego @ r_sens, r_ego @ t_sens + t_ego
+
+
+def transform_points_between_sensors(
+    points: np.ndarray,
+    src_pose: Dict, src_calib: Dict,
+    dst_pose: Dict, dst_calib: Dict,
+) -> np.ndarray:
+    """Move (N, >=3) points from the source sensor frame (at its capture
+    pose) into the destination sensor frame — the ego-motion compensation
+    step of multi-sweep aggregation."""
+    r_src, t_src = sensor_to_global(src_pose, src_calib)
+    r_dst, t_dst = sensor_to_global(dst_pose, dst_calib)
+    out = points.copy().astype(np.float32)
+    xyz = points[:, :3].astype(np.float64)
+    xyz_global = xyz @ r_src.T + t_src
+    xyz_dst = (xyz_global - t_dst) @ r_dst  # R_dst^-1 = R_dst^T applied right
+    out[:, :3] = xyz_dst.astype(np.float32)
+    return out
+
+
+def extract_sweeps(nusc, sample_data_token: str, num_sweeps: int) -> List[Dict]:
+    """Walk sample_data['prev'] collecting up to num_sweeps prior LiDAR
+    sweeps: {'lidar_path', 'pose', 'calib', 'time_lag_s'} each. Requires the
+    nuscenes devkit (converter-time only)."""
+    import os
+
+    sweeps = []
+    sd = nusc.get("sample_data", sample_data_token)
+    key_time = sd["timestamp"]
+    token = sd["prev"]
+    while token and len(sweeps) < num_sweeps:
+        sw = nusc.get("sample_data", token)
+        sweeps.append(
+            {
+                "lidar_path": os.path.join(nusc.dataroot, sw["filename"]),
+                "pose": {
+                    k: nusc.get("ego_pose", sw["ego_pose_token"])[k]
+                    for k in ("rotation", "translation")
+                },
+                "calib": {
+                    k: nusc.get(
+                        "calibrated_sensor", sw["calibrated_sensor_token"]
+                    )[k]
+                    for k in ("rotation", "translation")
+                },
+                "time_lag_s": (key_time - sw["timestamp"]) / 1e6,
+            }
+        )
+        token = sw["prev"]
+    return sweeps

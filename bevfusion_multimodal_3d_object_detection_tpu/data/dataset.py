@@ -121,6 +121,7 @@ class NuScenesDataset:
         depth_max: float = 60.0,
         use_native: bool = True,
         emit_uint8: bool = False,
+        num_sweeps: int = 1,
     ):
         if config is not None:
             ds = DataSpec.from_config(config)
@@ -130,6 +131,7 @@ class NuScenesDataset:
             image_size = ds.image_size
             classes = ds.classes
             pc_range = ds.pc_range
+            num_sweeps = ds.num_sweeps
             compat = CompatFlags.from_config(config)
 
         self.data_root = Path(data_root)
@@ -145,6 +147,7 @@ class NuScenesDataset:
         self.return_camera_cells = return_camera_cells
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
+        self.num_sweeps = num_sweeps
         self.bev_h, self.bev_w = bev_h, bev_w
         self.depth_bins = depth_bins
         self.depth_min, self.depth_max = depth_min, depth_max
@@ -193,6 +196,8 @@ class NuScenesDataset:
         return np.stack(imgs)  # (6, H, W, 3)
 
     def _load_lidar(self, info) -> np.ndarray:
+        if self.num_sweeps > 1 and info.get("sweeps"):
+            return self._load_multi_sweep(info)
         record = 4 if self.compat.lidar_four_float_parse else 5
         if self.use_native:
             from .native import load_lidar_native
@@ -206,6 +211,52 @@ class NuScenesDataset:
         raw = np.fromfile(str(info["lidar_path"]), dtype=np.float32)
         # Q5 (record=4): misaligned 4-float parse, reproducing the reference
         pts = raw[: (raw.size // record) * record].reshape(-1, record)[:, :4]
+        x0, y0, z0, x1, y1, z1 = self.pc_range
+        m = (
+            (pts[:, 0] > x0) & (pts[:, 0] < x1)
+            & (pts[:, 1] > y0) & (pts[:, 1] < y1)
+            & (pts[:, 2] > z0) & (pts[:, 2] < z1)
+        )
+        return self._pad_or_subsample(pts[m], self.max_points)
+
+    def _load_multi_sweep(self, info) -> np.ndarray:
+        """Aggregate the key sweep + prior sweeps with ego-motion compensation
+        and a time-lag channel -> (max_points, 5) [x, y, z, intensity, dt]
+        (north-star multi-sweep aggregation; requires pickles converted with
+        dataset.num_sweeps > 1)."""
+        from .converter import transform_points_between_sensors
+
+        record = 4 if self.compat.lidar_four_float_parse else 5
+
+        def read_bin(path):
+            raw = np.fromfile(str(path), dtype=np.float32)
+            return raw[: (raw.size // record) * record].reshape(-1, record)[
+                :, :4
+            ]
+
+        key_pose = info["lidar_pose"]
+        key_calib = info["lidar_calibrated_sensor"]
+        clouds = []
+        key_pts = read_bin(info["lidar_path"])
+        clouds.append(
+            np.concatenate(
+                [key_pts, np.zeros((len(key_pts), 1), np.float32)], axis=1
+            )
+        )
+        for sweep in info["sweeps"][: self.num_sweeps - 1]:
+            try:
+                pts = read_bin(sweep["lidar_path"])
+            except (OSError, FileNotFoundError):
+                continue
+            pts = transform_points_between_sensors(
+                pts, sweep["pose"], sweep["calib"], key_pose, key_calib
+            )
+            dt = np.full(
+                (len(pts), 1), float(sweep.get("time_lag_s", 0.0)), np.float32
+            )
+            clouds.append(np.concatenate([pts, dt], axis=1))
+        pts = np.concatenate(clouds, axis=0)
+
         x0, y0, z0, x1, y1, z1 = self.pc_range
         m = (
             (pts[:, 0] > x0) & (pts[:, 0] < x1)
