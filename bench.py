@@ -48,6 +48,8 @@ def get_cpu_baseline() -> float:
 
 
 def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
+    import signal
+
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
     )
@@ -55,6 +57,19 @@ def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
     enable_compilation_cache()
 
     import jax
+
+    # backend init can hang indefinitely if the TPU tunnel is down; fail
+    # loudly instead
+    def _alarm(signum, frame):
+        raise TimeoutError("TPU backend initialization timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(180)
+    try:
+        devices = jax.devices()
+        print(f"# devices: {devices}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
     import jax.numpy as jnp
 
     from bevfusion_multimodal_3d_object_detection_tpu.config import (
@@ -139,7 +154,22 @@ def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
 
 
 def main() -> None:
-    tpu_sps = measure_tpu()
+    try:
+        tpu_sps = measure_tpu()
+    except TimeoutError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "tri-modal inference samples/sec "
+                    "(1 TPU chip, bf16, forward + on-device decode)",
+                    "value": None,
+                    "unit": "samples/sec",
+                    "vs_baseline": None,
+                    "error": str(e),
+                }
+            )
+        )
+        return
     try:
         cpu_sps = get_cpu_baseline()
     except Exception as e:

@@ -143,7 +143,9 @@ class NuScenesDataset:
         self.classes = list(classes)
         self.pc_range = tuple(pc_range)
         self.compat = compat
-        self.rng = np.random.RandomState(seed)
+        # per-sample RNG is derived from (seed, index) in __getitem__ so
+        # loading is deterministic and thread-safe regardless of access order
+        self.seed = 0 if seed is None else int(seed)
         self.return_camera_cells = return_camera_cells
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
@@ -195,16 +197,16 @@ class NuScenesDataset:
             ]
         return np.stack(imgs)  # (6, H, W, 3)
 
-    def _load_lidar(self, info) -> np.ndarray:
+    def _load_lidar(self, info, rng) -> np.ndarray:
         if self.num_sweeps > 1 and info.get("sweeps"):
-            return self._load_multi_sweep(info)
+            return self._load_multi_sweep(info, rng)
         record = 4 if self.compat.lidar_four_float_parse else 5
         if self.use_native:
             from .native import load_lidar_native
 
             out = load_lidar_native(
                 str(info["lidar_path"]), record, self.max_points, 4,
-                self.pc_range, seed=self.rng.randint(1 << 31),
+                self.pc_range, seed=rng.randint(1 << 31),
             )
             if out is not None:
                 return out
@@ -217,9 +219,9 @@ class NuScenesDataset:
             & (pts[:, 1] > y0) & (pts[:, 1] < y1)
             & (pts[:, 2] > z0) & (pts[:, 2] < z1)
         )
-        return self._pad_or_subsample(pts[m], self.max_points)
+        return self._pad_or_subsample(pts[m], self.max_points, rng)
 
-    def _load_multi_sweep(self, info) -> np.ndarray:
+    def _load_multi_sweep(self, info, rng) -> np.ndarray:
         """Aggregate the key sweep + prior sweeps with ego-motion compensation
         and a time-lag channel -> (max_points, 5) [x, y, z, intensity, dt]
         (north-star multi-sweep aggregation; requires pickles converted with
@@ -263,37 +265,38 @@ class NuScenesDataset:
             & (pts[:, 1] > y0) & (pts[:, 1] < y1)
             & (pts[:, 2] > z0) & (pts[:, 2] < z1)
         )
-        return self._pad_or_subsample(pts[m], self.max_points)
+        return self._pad_or_subsample(pts[m], self.max_points, rng)
 
-    def _load_radars(self, info) -> np.ndarray:
+    def _load_radars(self, info, rng) -> np.ndarray:
         out = []
         for radar in RADAR_ORDER:
             if self.compat.random_radar_points:
                 # Q4: dummy gaussian points (ref: train_detect.py:173-177)
                 out.append(
-                    self.rng.randn(self.max_radar_points, 7).astype(np.float32)
+                    rng.randn(self.max_radar_points, 7).astype(np.float32)
                 )
             else:
                 path = self.data_root / info["radars"][radar]["filename"]
                 out.append(read_radar_pcd(path, self.max_radar_points))
         return np.stack(out)  # (5, Nr, 7)
 
-    def _pad_or_subsample(self, pts: np.ndarray, n: int) -> np.ndarray:
+    def _pad_or_subsample(self, pts: np.ndarray, n: int, rng) -> np.ndarray:
         if pts.shape[0] >= n:
-            idx = self.rng.choice(pts.shape[0], n, replace=False)
+            idx = rng.choice(pts.shape[0], n, replace=False)
             return pts[idx].astype(np.float32)
         pad = np.zeros((n - pts.shape[0], pts.shape[1]), np.float32)
         return np.concatenate([pts.astype(np.float32), pad], axis=0)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         info = self.infos[idx]
+        rng = np.random.RandomState(self.seed * 1000003 + idx)
         gt_boxes = np.asarray(info["gt_boxes"], np.float32).reshape(-1, 7)
         gt_labels = self._encode_labels(info["gt_names"])
         gt_vel = np.asarray(info["gt_velocity"], np.float32).reshape(-1, 2)
         sample = {
             "camera_imgs": self._load_cameras(info),
-            "lidar_points": self._load_lidar(info),
-            "radar_points": self._load_radars(info),
+            "lidar_points": self._load_lidar(info, rng),
+            "radar_points": self._load_radars(info, rng),
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_velocities": gt_vel,
@@ -446,6 +449,7 @@ class DataLoader:
         max_objects: int = 500,
         prefetch: int = 2,
         seed: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -454,6 +458,18 @@ class DataLoader:
         self.max_objects = max_objects
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        # thread pool for per-sample loads (PIL decode and np.fromfile
+        # release the GIL, so threads parallelize the IO-heavy work without
+        # torch-style worker processes)
+        self.num_workers = num_workers
+
+    def _fetch(self, indices) -> List[Dict[str, np.ndarray]]:
+        if self.num_workers and self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                return list(pool.map(self.dataset.__getitem__, indices))
+        return [self.dataset[int(i)] for i in indices]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -477,9 +493,7 @@ class DataLoader:
         batches = self._index_batches()
         if self.prefetch <= 0:
             for b in batches:
-                yield collate_fn(
-                    [self.dataset[int(i)] for i in b], self.max_objects
-                )
+                yield collate_fn(self._fetch(b), self.max_objects)
             return
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
@@ -488,12 +502,7 @@ class DataLoader:
         def worker():
             try:
                 for b in batches:
-                    q.put(
-                        collate_fn(
-                            [self.dataset[int(i)] for i in b],
-                            self.max_objects,
-                        )
-                    )
+                    q.put(collate_fn(self._fetch(b), self.max_objects))
             finally:
                 q.put(sentinel)
 
