@@ -304,6 +304,24 @@ class NuScenesDataset:
         }
         if self.return_camera_cells:
             sample["camera_cells"] = self._frustum_cells(info)
+        cam_front = info.get("cams", {}).get("CAM_FRONT", {})
+        if "calibrated_sensor" in cam_front and "lidar_calibrated_sensor" in info:
+            # front-camera projection data for the visualization path
+            # (intrinsics scaled from the native 1600x900 to image_size)
+            from ..utils.box_geometry import lidar_to_cam_transform
+
+            h, w = self.image_size
+            cs = cam_front["calibrated_sensor"]
+            intr = np.asarray(cs["camera_intrinsic"], np.float64)
+            scale = np.diag([w / 1600.0, h / 900.0, 1.0])
+            rot, trans = lidar_to_cam_transform(
+                cs, info["lidar_calibrated_sensor"]
+            )
+            sample["cam_front_projection"] = {
+                "intrinsic": scale @ intr,
+                "rot": rot,
+                "trans": trans,
+            }
         return sample
 
     def _frustum_cells(self, info) -> np.ndarray:

@@ -353,17 +353,48 @@ class InferenceEngine:
         ax.set_title("LiDAR points (BEV)")
         ax.set_aspect("equal")
 
-        # (0,2) front camera (denormalized)
+        # (0,2) front camera (denormalized) + projected 3D boxes
+        # (visualization.camera.project_boxes — declared but unimplemented in
+        # the reference)
         ax = axes[0, 2]
         cams = sample.get("camera_imgs")
         if cams is not None and len(cams):
-            from .data.dataset import IMAGENET_MEAN, IMAGENET_STD
+            img = np.asarray(cams[0])
+            if img.dtype == np.uint8:
+                img = img.astype(np.float32) / 255.0
+            else:
+                from .data.dataset import IMAGENET_MEAN, IMAGENET_STD
 
-            img = np.clip(
-                np.asarray(cams[0]) * IMAGENET_STD + IMAGENET_MEAN, 0, 1
-            )
+                img = np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
             ax.imshow(img)
-        ax.set_title("CAM_FRONT")
+            proj = sample.get("cam_front_projection")
+            if proj is not None:
+                from .utils.box_geometry import (
+                    BOX_EDGES,
+                    project_box_to_image,
+                )
+
+                hw = img.shape[:2]
+
+                def draw(boxes, color):
+                    for b in boxes:
+                        uv = project_box_to_image(
+                            b, proj["intrinsic"], proj["rot"],
+                            proj["trans"], hw,
+                        )
+                        if uv is None:
+                            continue
+                        for i, j in BOX_EDGES:
+                            ax.plot(
+                                [uv[i, 0], uv[j, 0]], [uv[i, 1], uv[j, 1]],
+                                color=color, lw=0.8,
+                            )
+
+                draw(gt_boxes, "lime")
+                draw(dets["boxes"], "red")
+                ax.set_xlim(0, hw[1])
+                ax.set_ylim(hw[0], 0)
+        ax.set_title("CAM_FRONT (projected boxes)")
         ax.axis("off")
 
         # (1,0) heatmap (rendered for real — quirk Q18 fixed)
