@@ -174,3 +174,34 @@ def test_bf16_train_step_runs(tiny_spec):
     assert leaf.dtype == jnp.float32  # params stay f32
     state, losses = trainer.train_step(trainer.state, batch, trainer.rng)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_eval_step_voxel_size_variants(tiny_spec):
+    """make_eval_step: the eval-path decoder uses voxel 0.512 (Q3) while the
+    training-eval variant derives 2.048 from the grid — world coordinates
+    differ by exactly the 4x ratio at the same peaks."""
+    from bevfusion_multimodal_3d_object_detection_tpu.train import (
+        make_eval_step,
+    )
+
+    model = MultiModal3DDetector(spec=tiny_spec)
+    trainer = Trainer(model, TrainSpec(batch_size=1), CompatFlags())
+    batch = tiny_batch(batch_size=1)
+    trainer.init_state(batch)
+
+    step_train = make_eval_step(model, CompatFlags(), eval_path_decode=False)
+    step_eval = make_eval_step(model, CompatFlags(), eval_path_decode=True)
+    a = step_train(trainer.state, batch)
+    b = step_eval(trainer.state, batch)
+    ax = np.asarray(a["boxes"][..., 0]) + 51.2
+    bx = np.asarray(b["boxes"][..., 0]) + 51.2
+    np.testing.assert_allclose(ax / 4.0, bx, atol=1e-4)
+    # corrected Q3: eval path falls back to the grid-derived voxel size
+    step_fixed = make_eval_step(
+        model, CompatFlags(eval_decode_voxel_0512=False),
+        eval_path_decode=True,
+    )
+    c = step_fixed(trainer.state, batch)
+    np.testing.assert_allclose(
+        np.asarray(a["boxes"]), np.asarray(c["boxes"]), atol=1e-5
+    )
