@@ -102,6 +102,11 @@ class InferenceEngine:
             )
         )
         self.score_threshold = score_threshold
+        self.save_predictions = bool(
+            (self.config.get("inference", {}) or {}).get(
+                "save_predictions", True
+            )
+        )
         self.model = MultiModal3DDetector(
             spec=self.spec, mask_padding=not self.compat.unmasked_point_padding
         )
@@ -243,7 +248,38 @@ class InferenceEngine:
         if visualize:
             path = self.visualize(sample, dets, preds, save_dir=save_dir)
             result["figure_path"] = path
+        if save_dir is not None and self.save_predictions:
+            result["predictions_path"] = self._save_predictions(
+                sample, dets, save_dir
+            )
         return result
+
+    def _save_predictions(self, sample: Dict, dets: Dict, save_dir: str) -> str:
+        """Write detections as JSON (the `inference.save_predictions` config
+        key — declared in the reference but never implemented)."""
+        import json
+
+        out_dir = Path(save_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        token = sample.get("token", "sample")
+        path = out_dir / f"predictions_{token}.json"
+        payload = {
+            "token": token,
+            "detections": [
+                {
+                    "box": [float(v) for v in dets["boxes"][i]],
+                    "score": float(dets["scores"][i]),
+                    "label": int(dets["labels"][i]),
+                    "class": self.classes[
+                        int(dets["labels"][i]) % len(self.classes)
+                    ],
+                    "velocity": [float(v) for v in dets["velocities"][i]],
+                }
+                for i in range(len(dets["scores"]))
+            ],
+        }
+        path.write_text(json.dumps(payload, indent=1))
+        return str(path)
 
     def batch_inference(
         self, dataset, num_samples: int = 10, save_dir: Optional[str] = None
