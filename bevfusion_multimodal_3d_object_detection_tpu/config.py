@@ -507,6 +507,9 @@ class TrainSpec:
     # never read there (no autocast call exists; SURVEY §2 parallelism
     # statement). Here: bf16 compute with f32 parameters/optimizer state.
     mixed_precision: bool = False
+    # train.gradient_accumulation — another declared-but-dead reference key;
+    # implemented via optax.MultiSteps when enabled.
+    grad_accum_steps: int = 1
     max_objects: int = 500
     resume_enable: bool = False
     resume_path: Optional[str] = None
@@ -565,6 +568,13 @@ class TrainSpec:
                 and _get(
                     cfg, "train", "mixed_precision", "enable", default=False
                 )
+            ),
+            grad_accum_steps=(
+                _get(cfg, "train", "gradient_accumulation", "steps",
+                     default=1)
+                if _get(cfg, "train", "gradient_accumulation", "enable",
+                        default=False)
+                else 1
             ),
             resume_enable=resume.get("enable", False),
             resume_path=resume.get("checkpoint_path"),

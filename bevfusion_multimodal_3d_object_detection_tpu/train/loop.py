@@ -81,6 +81,10 @@ def make_optimizer(train_spec: TrainSpec, compat: CompatFlags, steps_per_epoch: 
         tx = optax.chain(
             optax.clip_by_global_norm(train_spec.grad_clip_norm), tx
         )
+    if train_spec.grad_accum_steps > 1:
+        # train.gradient_accumulation (declared-but-dead in the reference):
+        # accumulate N micro-batch gradients before each optimizer update
+        tx = optax.MultiSteps(tx, every_k_schedule=train_spec.grad_accum_steps)
     return tx
 
 

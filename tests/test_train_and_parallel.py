@@ -205,3 +205,21 @@ def test_eval_step_voxel_size_variants(tiny_spec):
     np.testing.assert_allclose(
         np.asarray(a["boxes"]), np.asarray(c["boxes"]), atol=1e-5
     )
+
+
+def test_gradient_accumulation(tiny_spec):
+    """grad_accum_steps=2: params unchanged after the first micro-step,
+    updated after the second."""
+    model = MultiModal3DDetector(spec=tiny_spec)
+    trainer = Trainer(
+        model, TrainSpec(batch_size=2, grad_accum_steps=2), CompatFlags()
+    )
+    batch = tiny_batch()
+    trainer.init_state(batch)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    state, _ = trainer.train_step(trainer.state, batch, trainer.rng)
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # accumulating, no update yet
+    state, _ = trainer.train_step(state, batch, trainer.rng)
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    assert not np.array_equal(p1, p2)  # applied after k micro-steps
