@@ -223,3 +223,29 @@ def test_gradient_accumulation(tiny_spec):
     state, _ = trainer.train_step(state, batch, trainer.rng)
     p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     assert not np.array_equal(p1, p2)  # applied after k micro-steps
+
+
+def test_checkpoint_orbax_backend_roundtrip(tmp_path):
+    """The orbax checkpoint backend (multi-host/sharded use) roundtrips."""
+    import jax.numpy as jnp
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    payload = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(path, payload, backend="orbax")
+    template = {
+        "params": {"w": jnp.zeros((2, 3))},
+        "step": jnp.zeros((), jnp.int32),
+    }
+    restored = load_checkpoint(path, template, backend="orbax")
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]),
+        np.arange(6.0).reshape(2, 3),
+    )
+    assert int(restored["step"]) == 7
