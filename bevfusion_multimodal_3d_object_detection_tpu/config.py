@@ -170,6 +170,8 @@ class CameraEncoderSpec:
     out_channels: int = 512
     total_stride: int = 16
     image_size: Tuple[int, int] = (448, 800)
+    # jax.checkpoint each residual block (HBM <-> FLOPs trade for training)
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -353,6 +355,7 @@ class DetectorSpec:
                 out_channels=cam_cfg.get("output_channels", 512),
                 total_stride=cam_cfg.get("total_stride", 16),
                 image_size=image_size,
+                remat=cam_cfg.get("remat", False),
             ),
             lidar=LidarEncoderSpec(
                 encoder_type=lid_cfg.get("type", "PointNet"),

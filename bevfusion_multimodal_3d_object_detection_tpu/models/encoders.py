@@ -53,7 +53,9 @@ class ResNetCameraEncoder(nn.Module):
             b, n = x.shape[0], x.shape[1]
             x = x.reshape((b * n,) + x.shape[2:])
 
-        x = ResNet18Trunk(dtype=self.dtype, name="trunk")(x, train=bn_train)
+        x = ResNet18Trunk(
+            dtype=self.dtype, remat=self.spec.remat, name="trunk"
+        )(x, train=bn_train)
         x = nn.Conv(
             self.spec.out_channels,
             (1, 1),

@@ -122,6 +122,11 @@ class ResNet18Trunk(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2)
     stage_channels: Sequence[int] = (64, 128, 256)
     space_to_depth: bool = False
+    # rematerialize each residual block in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for not keeping the large
+    # early-stage activations (112x200x64 etc.) live through the backward —
+    # the standard HBM/compute trade for training bigger batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -161,17 +166,22 @@ class ResNet18Trunk(nn.Module):
             x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
         )
 
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(2,))
+            if self.remat
+            else BasicBlock
+        )
         for stage_idx, (num_blocks, channels) in enumerate(
             zip(self.stage_sizes, self.stage_channels)
         ):
             for block_idx in range(num_blocks):
                 strides = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                x = BasicBlock(
+                x = block_cls(
                     channels=channels,
                     strides=strides,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x, train=train)
+                )(x, train)
         return x
 
 

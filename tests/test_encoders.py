@@ -137,3 +137,36 @@ def test_space_to_depth_stem_matches_direct_conv():
     a = np.asarray(direct.apply(variables, x, train=False))
     b = np.asarray(s2d.apply(variables, x, train=False))
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+def test_remat_trunk_matches_and_backprops():
+    """remat=True must give identical outputs and gradients (only the
+    backward memory schedule changes)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.models.resnet import (
+        ResNet18Trunk,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 64, 3), jnp.float32)
+    plain = ResNet18Trunk(remat=False)
+    remat = ResNet18Trunk(remat=True)
+    variables = plain.init({"params": RNG}, x)
+
+    def loss(mod, v):
+        return lambda p: jnp.sum(
+            mod.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                      train=False) ** 2
+        )
+
+    l_plain, g_plain = jax.value_and_grad(loss(plain, variables))(
+        variables["params"]
+    )
+    l_remat, g_remat = jax.value_and_grad(loss(remat, variables))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
