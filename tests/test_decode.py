@@ -143,3 +143,28 @@ def test_decode_to_host_filters_scores():
     for det in host:
         assert (det["scores"] > 0.99).all()
         assert det["boxes"].shape[1] == 7
+
+
+def test_decode_at_2x_grid():
+    """BASELINE configs[4]: decode at 100x100 with the grid-derived voxel
+    size (1.024 m) maps pixel centers back to world correctly."""
+    rng = np.random.RandomState(11)
+    hm = np.zeros((1, 100, 100, 10), np.float32)
+    hm[0, 80, 30, 2] = 0.9  # one peak: y=80, x=30, class 2
+    preds = {
+        "heatmap": jnp.asarray(hm),
+        "offset": jnp.zeros((1, 100, 100, 2)),
+        "size": jnp.ones((1, 100, 100, 3)),
+        "rot": jnp.asarray(
+            np.tile([0.0, 1.0], (1, 100, 100, 1)).astype(np.float32)
+        ),
+        "vel": jnp.zeros((1, 100, 100, 2)),
+    }
+    out = decode_centernet_predictions(
+        preds, voxel_size=1.024, class_always_zero=False
+    )
+    top = np.asarray(out["boxes"])[0, 0]
+    assert float(np.asarray(out["scores"])[0, 0]) == np.float32(0.9)
+    np.testing.assert_allclose(top[0], 30 * 1.024 - 51.2, atol=1e-4)
+    np.testing.assert_allclose(top[1], 80 * 1.024 - 51.2, atol=1e-4)
+    assert int(np.asarray(out["labels"])[0, 0]) == 2
