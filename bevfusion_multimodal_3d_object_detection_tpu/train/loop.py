@@ -329,9 +329,11 @@ class Trainer:
             log_fh.close()
         return total / max(count, 1)
 
-    def evaluate(self, loader, score_thresh: float = 0.1) -> Dict:
-        """Validation pass: decode + metrics (training-eval decode variant,
-        ref: train_detect.py:500-588)."""
+    def evaluate(self, loader, score_thresh: float = 0.0) -> Dict:
+        """Validation pass: decode + metrics (training-eval decode variant
+        with score_thresh 0.0, ref: train_detect.py:500-536; the MLP head
+        contributes its single argmax/softmax box per sample,
+        ref: train_detect.py:537-556)."""
         assert self.state is not None
         predictions, ground_truths = [], []
         for batch in loader:
@@ -340,13 +342,27 @@ class Trainer:
             if self.spec.head_is_centernet:
                 dets = decode_to_host(decoded, score_thresh=score_thresh)
                 predictions.extend(dets)
-                for bi in range(len(dets)):
-                    ground_truths.append(
+            else:
+                cls = np.asarray(decoded["cls"])
+                box = np.asarray(decoded["box"])
+                probs = np.exp(cls - cls.max(axis=-1, keepdims=True))
+                probs /= probs.sum(axis=-1, keepdims=True)
+                for i in range(cls.shape[0]):
+                    label = int(np.argmax(probs[i]))
+                    predictions.append(
                         {
-                            "boxes": np.asarray(batch["gt_boxes"][bi]),
-                            "labels": np.asarray(batch["gt_labels"][bi]),
+                            "boxes": box[i : i + 1],
+                            "scores": np.array([probs[i, label]]),
+                            "labels": np.array([label], np.int64),
                         }
                     )
+            for bi in range(len(batch["gt_boxes"])):
+                ground_truths.append(
+                    {
+                        "boxes": np.asarray(batch["gt_boxes"][bi]),
+                        "labels": np.asarray(batch["gt_labels"][bi]),
+                    }
+                )
         return compute_metrics(
             predictions,
             ground_truths,

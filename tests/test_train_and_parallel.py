@@ -249,3 +249,27 @@ def test_checkpoint_orbax_backend_roundtrip(tmp_path):
         np.arange(6.0).reshape(2, 3),
     )
     assert int(restored["step"]) == 7
+
+
+def test_evaluate_mlp_head_path(tiny_spec):
+    """Trainer.evaluate with the MLP head mirrors the reference: one
+    softmax/argmax box per sample feeds the metrics
+    (ref: train_detect.py:537-556)."""
+    import dataclasses
+
+    from bevfusion_multimodal_3d_object_detection_tpu.data import DataLoader
+
+    spec = dataclasses.replace(tiny_spec, fusion_type="late")
+    assert not spec.head_is_centernet
+    model = MultiModal3DDetector(spec=spec)
+    trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
+    batch = tiny_batch()
+    trainer.init_state(batch)
+
+    class _OneBatch:
+        def __iter__(self):
+            yield batch
+
+    metrics = trainer.evaluate(_OneBatch())
+    assert 0.0 <= metrics["mAP"] <= 1.0
+    assert "NDS" in metrics
