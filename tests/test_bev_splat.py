@@ -81,3 +81,49 @@ def test_geometric_camera_bev_module():
     out = mod.apply(variables, feats, cells)
     assert out.shape == (1, 10, 10, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_geometric_bev_through_detector_and_train_step():
+    """camera_to_bev='geometric': frustum cells flow through the detector
+    forward AND the jitted train step."""
+    import dataclasses
+
+    import jax
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        TrainSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+    from conftest import TINY_IMAGE, tiny_batch, TINY_POINTS, TINY_RADAR_POINTS
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        BEVFusionSpec,
+        CameraEncoderSpec,
+        DetectorSpec,
+        LidarEncoderSpec,
+        RadarEncoderSpec,
+    )
+
+    spec = DetectorSpec(
+        camera=CameraEncoderSpec(image_size=TINY_IMAGE),
+        lidar=LidarEncoderSpec(max_points=TINY_POINTS),
+        radar=RadarEncoderSpec(max_points_per_sensor=TINY_RADAR_POINTS),
+        bev=BEVFusionSpec(camera_to_bev="geometric", depth_bins=4),
+    )
+    model = MultiModal3DDetector(spec=spec)
+    batch = tiny_batch()
+    rng = np.random.RandomState(0)
+    fh, fw = TINY_IMAGE[0] // 16, TINY_IMAGE[1] // 16
+    batch["camera_cells"] = rng.randint(
+        -1, 2500, (2, 6, 4, fh, fw)
+    ).astype(np.int32)
+
+    trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
+    trainer.init_state(batch)
+    assert "geometric_camera_bev" in trainer.state.params["fusion"]
+    state, losses = trainer.train_step(trainer.state, batch, trainer.rng)
+    assert np.isfinite(float(losses["total_loss"]))
+    decoded = trainer.eval_step(state, batch)
+    assert np.asarray(decoded["boxes"]).shape[-1] == 7
