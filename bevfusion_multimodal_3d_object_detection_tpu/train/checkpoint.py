@@ -42,6 +42,43 @@ def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "msgpack"
     tmp.replace(p)
 
 
+def _tolerant_merge(template: Any, state: Any, path: str = "") -> Any:
+    """strict=False restore semantics (the reference loads with strict=False,
+    eval.py:211): keys present in both are restored; keys only in the
+    template keep their current values; extra checkpoint keys are ignored."""
+    if isinstance(template, dict):
+        if not isinstance(state, dict):
+            return template
+        out = {}
+        for k, v in template.items():
+            if str(k) in state:
+                out[k] = _tolerant_merge(v, state[str(k)], f"{path}/{k}")
+            else:
+                out[k] = v
+        return out
+    if isinstance(template, (list, tuple)):
+        if not isinstance(state, dict):
+            return template
+        merged = [
+            _tolerant_merge(v, state.get(str(i), None), f"{path}/{i}")
+            if str(i) in state
+            else v
+            for i, v in enumerate(template)
+        ]
+        return type(template)(merged)
+    if state is None:
+        return template
+    arr = np.asarray(state)
+    t_arr = np.asarray(template)
+    if arr.shape != t_arr.shape:
+        print(
+            f"Warning: checkpoint shape mismatch at {path} "
+            f"({arr.shape} vs {t_arr.shape}); keeping current value"
+        )
+        return template
+    return arr.astype(t_arr.dtype)
+
+
 def load_checkpoint(path: str, template: Dict[str, Any], backend: str = "msgpack") -> Dict[str, Any]:
     p = Path(path)
     if backend == "orbax" or p.is_dir():
@@ -50,5 +87,7 @@ def load_checkpoint(path: str, template: Dict[str, Any], backend: str = "msgpack
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(p.absolute(), template)
     raw = fser.msgpack_restore(p.read_bytes())
-    restored = fser.from_state_dict(template, raw)
+    template_state = fser.to_state_dict(_to_numpy_tree(template))
+    merged = _tolerant_merge(template_state, raw)
+    restored = fser.from_state_dict(template, merged)
     return jax.tree_util.tree_map(jnp.asarray, restored)

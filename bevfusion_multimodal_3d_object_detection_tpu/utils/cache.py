@@ -16,6 +16,17 @@ _DEFAULT_DIR = Path(__file__).resolve().parents[2] / ".jax_cache"
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    # BMOD_PLATFORM pins the JAX platform in-process (the environment's
+    # sitecustomize overrides the JAX_PLATFORMS env var, and a dead TPU
+    # tunnel makes backend init hang — `BMOD_PLATFORM=cpu python train_detect
+    # ...` is the escape hatch).
+    platform = os.environ.get("BMOD_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
     d = Path(cache_dir or os.environ.get("BMOD_JAX_CACHE", _DEFAULT_DIR))
     d.mkdir(parents=True, exist_ok=True)
     try:

@@ -123,6 +123,28 @@ def main(config_path: str | None = None) -> dict:
     out_dir = Path("eval_results")
     out_dir.mkdir(exist_ok=True)
     save_and_print_metrics(metrics, str(out_dir / "eval_metrics_output.txt"))
+
+    # optional official-style metrics (metrics.use_official: true) honoring
+    # metrics.nuscenes.dist_ths — an upgrade the reference only declares
+    metrics_cfg = (loader_config or model_config).get("metrics", {}) or {}
+    if metrics_cfg.get("use_official", False):
+        from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+            compute_metrics_official,
+        )
+
+        official = compute_metrics_official(
+            predictions,
+            ground_truths,
+            num_classes=spec.num_classes,
+            dist_ths=tuple(
+                (metrics_cfg.get("nuscenes", {}) or {}).get(
+                    "dist_ths", (0.5, 1.0, 2.0, 4.0)
+                )
+            ),
+        )
+        save_and_print_metrics(
+            official, str(out_dir / "eval_metrics_official.txt")
+        )
     return metrics
 
 

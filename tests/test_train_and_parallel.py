@@ -273,3 +273,48 @@ def test_evaluate_mlp_head_path(tiny_spec):
     metrics = trainer.evaluate(_OneBatch())
     assert 0.0 <= metrics["mAP"] <= 1.0
     assert "NDS" in metrics
+
+
+def test_checkpoint_strict_false_semantics(tmp_path, tiny_spec):
+    """Restoring a camera_only checkpoint into a tri-modal model keeps the
+    missing encoders at their current values (the reference loads with
+    strict=False, eval.py:211)."""
+    import dataclasses
+
+    cam_spec = dataclasses.replace(
+        tiny_spec, use_lidar=False, use_radar=False
+    )
+    cam_model = MultiModal3DDetector(spec=cam_spec)
+    cam_trainer = Trainer(cam_model, TrainSpec(batch_size=2), CompatFlags())
+    batch = tiny_batch()
+    cam_trainer.init_state(batch)
+    path = str(tmp_path / "cam_only.msgpack")
+    cam_trainer.save_checkpoint(path, epoch=0)
+
+    tri_model = MultiModal3DDetector(spec=tiny_spec)
+    tri_trainer = Trainer(tri_model, TrainSpec(batch_size=2), CompatFlags())
+    tri_trainer.init_state(batch)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(
+            tri_trainer.state.params["lidar_encoder"]
+        )[0]
+    ).copy()
+    tri_trainer.load_checkpoint(path)  # must not raise
+    after = np.asarray(
+        jax.tree_util.tree_leaves(
+            tri_trainer.state.params["lidar_encoder"]
+        )[0]
+    )
+    np.testing.assert_array_equal(before, after)  # untouched
+    # camera trunk WAS restored
+    cam_leaf_ckpt = np.asarray(
+        jax.tree_util.tree_leaves(
+            cam_trainer.state.params["camera_encoder"]
+        )[0]
+    )
+    cam_leaf_restored = np.asarray(
+        jax.tree_util.tree_leaves(
+            tri_trainer.state.params["camera_encoder"]
+        )[0]
+    )
+    np.testing.assert_array_equal(cam_leaf_ckpt, cam_leaf_restored)
