@@ -138,3 +138,17 @@ def test_official_metrics_global_accumulation():
     m = compute_metrics_official([pred1, pred2], [gt1, gt2], num_classes=1)
     # the FP outranks the TP globally -> max precision at recall 1 is 0.5
     assert m["mAP"] < 0.6
+
+
+def test_step_timer_and_profiling_utils():
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.profiling import (
+        StepTimer,
+    )
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        with t:
+            pass
+    s = t.summary(batch_size=2)
+    assert s["steps"] == 3  # warmup discarded
+    assert s["fps"] > 0 and s["mean_latency_ms"] >= 0
