@@ -92,8 +92,11 @@ class InferenceEngine:
         model_path: Optional[str] = None,
         config_path: str = "configs/base.yaml",
         score_threshold: float = 0.3,
+        config: Optional[Dict] = None,
     ):
-        self.config = load_config(config_path)
+        # direct config dict OR config_path, like every reference class
+        # (ref: inference.py:42-94 / the config= | config_path= pattern)
+        self.config = config if config is not None else load_config(config_path)
         self.compat = CompatFlags.from_config(self.config)
         self.spec = DetectorSpec.from_config(self.config)
         self.classes = list(

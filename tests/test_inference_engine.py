@@ -64,3 +64,42 @@ def test_prf1_each_gt_matched_once():
     gts = np.stack([_box(0, 0)])
     p, r, f1, tp, fp, fn = precision_recall_f1(preds, gts)
     assert tp == 1 and fp == 1 and fn == 0
+
+
+def test_engine_end_to_end_random_init(tmp_path):
+    """Full engine path in-process: random init -> run_inference -> detections
+    dict + P/R/F1 + prediction JSON + figure."""
+    from bevfusion_multimodal_3d_object_detection_tpu.inference_engine import (
+        InferenceEngine,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data import (
+        SyntheticNuScenesDataset,
+    )
+    from conftest import TINY_IMAGE, TINY_POINTS, TINY_RADAR_POINTS
+
+    cfg = {
+        "dataset": {
+            "cameras": {"image_size": list(TINY_IMAGE)},
+            "max_points": {"lidar": TINY_POINTS,
+                           "radar_per_sensor": TINY_RADAR_POINTS},
+        },
+        "model": {
+            "camera_encoder": {"input_size": list(TINY_IMAGE)},
+            "lidar_encoder": {"max_points": TINY_POINTS},
+            "radar_encoder": {"max_points_per_sensor": TINY_RADAR_POINTS},
+        },
+        "inference": {"save_predictions": True},
+    }
+    engine = InferenceEngine(config=cfg)
+    ds = SyntheticNuScenesDataset(
+        num_samples=1, image_size=TINY_IMAGE, max_points=TINY_POINTS,
+        max_radar_points=TINY_RADAR_POINTS,
+    )
+    sample = ds[0]
+    engine.init_random(sample)
+    res = engine.run_inference(
+        sample, visualize=True, save_dir=str(tmp_path)
+    )
+    assert {"detections", "precision", "recall", "f1"} <= set(res)
+    assert (tmp_path / f"inference_{sample['token']}.png").exists()
+    assert (tmp_path / f"predictions_{sample['token']}.json").exists()
