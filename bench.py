@@ -48,7 +48,20 @@ def get_cpu_baseline() -> float:
 
 
 def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
-    import signal
+    import subprocess
+
+    # Backend init hangs in C (uninterruptible by signals) when the TPU
+    # tunnel is down — probe device availability in a killable subprocess
+    # first and fail loudly instead of blocking forever.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        raise TimeoutError(
+            f"TPU backend unavailable ({type(e).__name__})"
+        ) from e
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
@@ -58,18 +71,7 @@ def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
 
     import jax
 
-    # backend init can hang indefinitely if the TPU tunnel is down; fail
-    # loudly instead
-    def _alarm(signum, frame):
-        raise TimeoutError("TPU backend initialization timed out")
-
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(180)
-    try:
-        devices = jax.devices()
-        print(f"# devices: {devices}", file=sys.stderr)
-    finally:
-        signal.alarm(0)
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
     import jax.numpy as jnp
 
     from bevfusion_multimodal_3d_object_detection_tpu.config import (
