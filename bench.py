@@ -47,21 +47,44 @@ def get_cpu_baseline() -> float:
     return sps
 
 
-def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
+def probe_tpu(total_budget_s: float = 600.0, attempt_timeout_s: float = 90.0):
+    """Probe TPU availability in a killable subprocess, retrying with backoff.
+
+    Backend init hangs in C (uninterruptible by signals) when the TPU tunnel
+    is down, so each attempt runs in a subprocess with a hard timeout. The
+    tunnel is known-flaky (CLAUDE.md) and often comes back within minutes —
+    retry until ~`total_budget_s` is spent before declaring it unavailable."""
     import subprocess
 
-    # Backend init hangs in C (uninterruptible by signals) when the TPU
-    # tunnel is down — probe device availability in a killable subprocess
-    # first and fail loudly instead of blocking forever.
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=180, check=True, capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        raise TimeoutError(
-            f"TPU backend unavailable ({type(e).__name__})"
-        ) from e
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    last_err = "no attempt"
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=attempt_timeout_s, check=True, capture_output=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            last_err = type(e).__name__
+            remaining = deadline - time.monotonic()
+            print(
+                f"# TPU probe attempt {attempt} failed ({last_err}); "
+                f"{remaining:.0f}s of probe budget left",
+                file=sys.stderr,
+            )
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"TPU backend unavailable after {attempt} probe "
+                    f"attempts over {total_budget_s:.0f}s ({last_err})"
+                ) from e
+            time.sleep(min(30.0 * attempt, 60.0, max(remaining, 1.0)))
+
+
+def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
+    probe_tpu()
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,

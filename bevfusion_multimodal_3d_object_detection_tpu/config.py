@@ -137,6 +137,11 @@ class CompatFlags:
     # augmentation (reference behavior); False = apply the declared
     # augmentations on device (ops/augment.py).
     skip_augmentation: bool = True
+    # Q19: the reference's gaussian_radius divides every quadratic root by 2
+    # (the upstream CornerNet bug; centernet_target.py:131-149). False =
+    # reference behavior; True = proper (b+sqrt(b^2-4ac))/(2a) roots. Differs
+    # only for large boxes on fine grids.
+    corrected_gaussian_radius: bool = False
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "CompatFlags":
@@ -166,6 +171,11 @@ def parse_modalities(modality_config: Optional[str]) -> Tuple[bool, bool, bool]:
 class CameraEncoderSpec:
     backbone: str = "resnet18"
     pretrained: bool = True
+    # Local torchvision-format resnet18 state_dict (.pth). With
+    # `pretrained: true` and this file present, model init loads the trunk
+    # from it (ref: encoders.py:98 models.resnet18(pretrained=True)); with
+    # the file absent a loud warning is printed (no network egress here).
+    pretrained_path: Optional[str] = None
     freeze_bn: bool = False
     out_channels: int = 512
     total_stride: int = 16
@@ -351,6 +361,7 @@ class DetectorSpec:
             camera=CameraEncoderSpec(
                 backbone=cam_cfg.get("backbone", "resnet18"),
                 pretrained=cam_cfg.get("pretrained", True),
+                pretrained_path=cam_cfg.get("pretrained_path", None),
                 freeze_bn=cam_cfg.get("freeze_bn", False),
                 out_channels=cam_cfg.get("output_channels", 512),
                 total_stride=cam_cfg.get("total_stride", 16),

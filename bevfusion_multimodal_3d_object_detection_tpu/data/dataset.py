@@ -518,11 +518,14 @@ class DataLoader:
         sentinel = object()
 
         def worker():
+            # A loader error must surface in the consumer, not silently end
+            # the epoch early — enqueue the exception and re-raise it below.
             try:
                 for b in batches:
                     q.put(collate_fn(self._fetch(b), self.max_objects))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -530,4 +533,6 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -129,17 +129,24 @@ class InferenceEngine:
 
     # -- model ------------------------------------------------------------------
     def init_random(self, sample: Dict) -> None:
-        """Initialize with random weights (for smoke runs without checkpoint)."""
+        """Initialize with random weights (for smoke runs without checkpoint).
+        Honors camera_encoder.pretrained when a local trunk .pth exists."""
+        from .utils.torch_convert import maybe_load_pretrained_camera
+
         rng = jax.random.PRNGKey(0)
-        self.variables = self.model.init(
+        variables = self.model.init(
             {"params": rng}, *self._inputs(sample, batch=True), train=False
         )
+        self.variables, _ = maybe_load_pretrained_camera(variables, self.spec)
 
-    def load_model(self, model_path: str) -> None:
+    def load_model(self, model_path: str, strict: bool = True) -> None:
         """Load a checkpoint saved by the Trainer — or a torch `.pth`
         checkpoint in the REFERENCE framework's format (migrated through
         utils/reference_convert.py). Tolerant of missing keys (the reference
-        loads strict=False, eval.py:211)."""
+        loads strict=False, eval.py:211) but a failed restore RAISES by
+        default — silently proceeding on random weights would present
+        garbage detections as real. `strict=False` restores the old
+        warn-and-randomize behavior for smoke runs."""
         rng = jax.random.PRNGKey(0)
         dummy = self._dummy_sample()
         variables = self.model.init(
@@ -166,6 +173,10 @@ class InferenceEngine:
                     "batch_stats": restored["batch_stats"],
                 }
         except Exception as e:
+            if strict:
+                raise RuntimeError(
+                    f"failed to restore checkpoint '{model_path}': {e}"
+                ) from e
             print(f"Warning: failed to restore '{model_path}' ({e}); "
                   f"using random init")
             self.variables = variables

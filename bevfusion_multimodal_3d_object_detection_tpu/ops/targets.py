@@ -33,10 +33,21 @@ import jax.numpy as jnp
 
 
 def gaussian_radius(
-    height: jnp.ndarray, width: jnp.ndarray, min_overlap: float = 0.7
+    height: jnp.ndarray,
+    width: jnp.ndarray,
+    min_overlap: float = 0.7,
+    corrected: bool = False,
 ) -> jnp.ndarray:
     """CornerNet 3-case gaussian radius, elementwise over arrays
-    (ref: centernet_target.py:128-150)."""
+    (ref: centernet_target.py:128-150).
+
+    The reference divides every root by 2 — the well-known upstream CornerNet
+    bug where the quadratic-formula denominator should be ``2*a``. Default
+    reproduces the reference (`corrected=False`); `corrected=True` uses the
+    proper ``(b + sqrt(b^2-4ac)) / (2a)`` roots (compat flag
+    ``corrected_gaussian_radius``). The two differ only when a != 1, i.e. for
+    large boxes on fine grids (an 18 m box at voxel 0.512: ref radius 3 vs
+    corrected 2)."""
     a1 = 1.0
     b1 = height + width
     c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
@@ -47,13 +58,13 @@ def gaussian_radius(
     b2 = 2 * (height + width)
     c2 = (1 - min_overlap) * width * height
     sq2 = jnp.sqrt(jnp.maximum(b2 * b2 - 4 * a2 * c2, 0.0))
-    r2 = (b2 + sq2) / (2 * a2)
+    r2 = (b2 + sq2) / (2 * a2 if corrected else 2)
 
     a3 = 4.0 * min_overlap
     b3 = -2 * min_overlap * (height + width)
     c3 = (min_overlap - 1) * width * height
     sq3 = jnp.sqrt(jnp.maximum(b3 * b3 - 4 * a3 * c3, 0.0))
-    r3 = (b3 + sq3) / (2 * a3)
+    r3 = (b3 + sq3) / (2 * a3 if corrected else 2)
 
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
@@ -66,6 +77,7 @@ def gaussian_radius(
         "gaussian_overlap",
         "min_radius",
         "pc_range",
+        "corrected_gaussian_radius",
     ),
 )
 def prepare_centernet_targets(
@@ -76,6 +88,7 @@ def prepare_centernet_targets(
     num_classes: int = 10,
     gaussian_overlap: float = 0.7,
     min_radius: int = 2,
+    corrected_gaussian_radius: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Dense + sparse CenterNet targets, fully on device.
 
@@ -128,7 +141,10 @@ def prepare_centernet_targets(
     # Gaussian radius in heatmap pixels (box_l along y, box_w along x;
     # ref: centernet_target.py:265-271)
     radius_f = gaussian_radius(
-        bl / voxel_y, bw / voxel_x, min_overlap=gaussian_overlap
+        bl / voxel_y,
+        bw / voxel_x,
+        min_overlap=gaussian_overlap,
+        corrected=corrected_gaussian_radius,
     )
     radius = jnp.maximum(
         jnp.asarray(min_radius, jnp.int32),
@@ -215,6 +231,7 @@ def prepare_centernet_targets_host(
     max_objects: int = 500,
     gaussian_overlap: float = 0.7,
     min_radius: int = 2,
+    corrected_gaussian_radius: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Convenience wrapper taking the reference-style batch dict
     ({'gt_boxes': (B, M, 7), 'gt_labels': (B, M)}); pads M to `max_objects`
@@ -243,4 +260,5 @@ def prepare_centernet_targets_host(
         num_classes=num_classes,
         gaussian_overlap=gaussian_overlap,
         min_radius=min_radius,
+        corrected_gaussian_radius=corrected_gaussian_radius,
     )

@@ -42,17 +42,26 @@ def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "msgpack"
     tmp.replace(p)
 
 
-def _tolerant_merge(template: Any, state: Any, path: str = "") -> Any:
+def _tolerant_merge(
+    template: Any, state: Any, path: str = "", keep_on_shape_mismatch: bool = False
+) -> Any:
     """strict=False restore semantics (the reference loads with strict=False,
     eval.py:211): keys present in both are restored; keys only in the
-    template keep their current values; extra checkpoint keys are ignored."""
+    template keep their current values; extra checkpoint keys are ignored.
+
+    A TENSOR SHAPE MISMATCH raises by default — torch's strict=False still
+    raises on size mismatch, and silently keeping the random template value
+    yields a part-restored model presented as restored.
+    `keep_on_shape_mismatch=True` opts into warn-and-keep."""
     if isinstance(template, dict):
         if not isinstance(state, dict):
             return template
         out = {}
         for k, v in template.items():
             if str(k) in state:
-                out[k] = _tolerant_merge(v, state[str(k)], f"{path}/{k}")
+                out[k] = _tolerant_merge(
+                    v, state[str(k)], f"{path}/{k}", keep_on_shape_mismatch
+                )
             else:
                 out[k] = v
         return out
@@ -60,7 +69,9 @@ def _tolerant_merge(template: Any, state: Any, path: str = "") -> Any:
         if not isinstance(state, dict):
             return template
         merged = [
-            _tolerant_merge(v, state.get(str(i), None), f"{path}/{i}")
+            _tolerant_merge(
+                v, state.get(str(i), None), f"{path}/{i}", keep_on_shape_mismatch
+            )
             if str(i) in state
             else v
             for i, v in enumerate(template)
@@ -71,6 +82,12 @@ def _tolerant_merge(template: Any, state: Any, path: str = "") -> Any:
     arr = np.asarray(state)
     t_arr = np.asarray(template)
     if arr.shape != t_arr.shape:
+        if not keep_on_shape_mismatch:
+            raise ValueError(
+                f"checkpoint shape mismatch at {path}: checkpoint has "
+                f"{arr.shape}, model expects {t_arr.shape} (pass "
+                f"keep_on_shape_mismatch=True to keep the current value)"
+            )
         print(
             f"Warning: checkpoint shape mismatch at {path} "
             f"({arr.shape} vs {t_arr.shape}); keeping current value"
@@ -79,7 +96,12 @@ def _tolerant_merge(template: Any, state: Any, path: str = "") -> Any:
     return arr.astype(t_arr.dtype)
 
 
-def load_checkpoint(path: str, template: Dict[str, Any], backend: str = "msgpack") -> Dict[str, Any]:
+def load_checkpoint(
+    path: str,
+    template: Dict[str, Any],
+    backend: str = "msgpack",
+    keep_on_shape_mismatch: bool = False,
+) -> Dict[str, Any]:
     p = Path(path)
     if backend == "orbax" or p.is_dir():
         import orbax.checkpoint as ocp
@@ -88,6 +110,8 @@ def load_checkpoint(path: str, template: Dict[str, Any], backend: str = "msgpack
             return ckptr.restore(p.absolute(), template)
     raw = fser.msgpack_restore(p.read_bytes())
     template_state = fser.to_state_dict(_to_numpy_tree(template))
-    merged = _tolerant_merge(template_state, raw)
+    merged = _tolerant_merge(
+        template_state, raw, keep_on_shape_mismatch=keep_on_shape_mismatch
+    )
     restored = fser.from_state_dict(template, merged)
     return jax.tree_util.tree_map(jnp.asarray, restored)

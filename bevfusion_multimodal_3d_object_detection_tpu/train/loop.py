@@ -117,8 +117,17 @@ def make_train_step(
     train_spec: TrainSpec,
     compat: CompatFlags,
     augment: Optional["AugmentSpec"] = None,
+    check_gradients: bool = False,
+    donate: bool = True,
 ) -> Callable:
-    """Returns jitted train_step(state, batch, rng) -> (state, loss_dict)."""
+    """Returns jitted train_step(state, batch, rng) -> (state, loss_dict).
+
+    The input `state` is DONATED to the jit (params + AdamW moments are
+    updated in place in HBM rather than copied every step); keep no live
+    reference to the old state across the call. `check_gradients` honors the
+    reference's declared-but-dead debug.check_gradients key
+    (ref: configs/base.yaml:643): the loss dict gains `grad_norm` (global
+    pre-clip norm) and `grads_finite` (0.0 when any grad is NaN/inf)."""
     from ..config import AugmentSpec
 
     spec = model.spec
@@ -163,6 +172,7 @@ def make_train_step(
                 pc_range=spec.bev.pc_range,
                 bev_size=bev_size,
                 num_classes=spec.num_classes,
+                corrected_gaussian_radius=compat.corrected_gaussian_radius,
             )
             losses = centernet_loss(
                 preds,
@@ -175,12 +185,16 @@ def make_train_step(
             losses = detection_loss(preds, targets)
         return losses["total_loss"], (mutated["batch_stats"], losses)
 
-    @jax.jit
     def train_step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
         grads, (new_bs, losses) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
+        if check_gradients:
+            gnorm = optax.global_norm(grads)
+            losses = dict(losses)
+            losses["grad_norm"] = gnorm
+            losses["grads_finite"] = jnp.isfinite(gnorm).astype(jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -191,7 +205,7 @@ def make_train_step(
         )
         return new_state, losses
 
-    return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(
@@ -248,6 +262,7 @@ class Trainer:
         steps_per_epoch: int = 1,
         init_rng: Optional[jax.Array] = None,
         augment=None,
+        check_gradients: bool = False,
     ):
         self.model = model
         self.spec = model.spec
@@ -256,7 +271,8 @@ class Trainer:
         self.mesh = mesh
         self.tx = make_optimizer(train_spec, compat, steps_per_epoch)
         self.train_step = make_train_step(
-            model, self.tx, train_spec, compat, augment=augment
+            model, self.tx, train_spec, compat, augment=augment,
+            check_gradients=check_gradients,
         )
         self.eval_step = make_eval_step(model, compat)
         self.rng = (
@@ -276,6 +292,11 @@ class Trainer:
             train=False,
             **_model_kwargs(self.spec, _tiny_like(sample_batch)),
         )
+        # camera_encoder.pretrained: load the ImageNet trunk from a local
+        # torchvision state_dict when available (ref: encoders.py:98)
+        from ..utils.torch_convert import maybe_load_pretrained_camera
+
+        variables, _ = maybe_load_pretrained_camera(variables, self.spec)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.state = TrainState(
@@ -394,7 +415,11 @@ class Trainer:
         )
 
     def load_checkpoint(
-        self, path: str, restore_optimizer: bool = True, backend: str = "msgpack"
+        self,
+        path: str,
+        restore_optimizer: bool = True,
+        backend: str = "msgpack",
+        keep_on_shape_mismatch: bool = False,
     ):
         from .checkpoint import load_checkpoint as _load
 
@@ -407,7 +432,12 @@ class Trainer:
             "epoch": jnp.zeros((), jnp.int32),
             "best_map": jnp.zeros(()),
         }
-        restored = _load(path, template, backend=backend)
+        restored = _load(
+            path,
+            template,
+            backend=backend,
+            keep_on_shape_mismatch=keep_on_shape_mismatch,
+        )
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

@@ -21,6 +21,9 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 
+_warned_missing_pretrained = False
+
+
 def _conv_w(t) -> np.ndarray:
     # torch (O, I, H, W) -> flax (H, W, I, O)
     return np.asarray(t).transpose(2, 3, 1, 0)
@@ -106,3 +109,42 @@ def load_torch_resnet18_into(
     for k, v in trunk_stats.items():
         dst_s[k] = jax.tree_util.tree_map(np.asarray, v)
     return out
+
+
+def maybe_load_pretrained_camera(variables: Dict, spec) -> Tuple[Dict, bool]:
+    """Honor `camera_encoder.pretrained` at model init
+    (ref: encoders.py:98 `models.resnet18(pretrained=True)`).
+
+    When the detector uses the camera and `spec.camera.pretrained` is set,
+    loads the trunk from the local torchvision-format state_dict at
+    `spec.camera.pretrained_path` (default `./weights/resnet18.pth` if that
+    file exists). Returns `(variables, loaded)`. With `pretrained: true` but
+    no weight file available, warns LOUDLY and returns the variables
+    unchanged — this environment has no network egress, so the download the
+    reference performs is impossible; the missing-file case must be visible,
+    not silent."""
+    from pathlib import Path
+
+    cam = getattr(spec, "camera", None)
+    if cam is None or not getattr(spec, "use_camera", False):
+        return variables, False
+    if not cam.pretrained:
+        return variables, False
+    path = cam.pretrained_path
+    if path is None and Path("./weights/resnet18.pth").exists():
+        path = "./weights/resnet18.pth"
+    if path is None or not Path(path).exists():
+        global _warned_missing_pretrained
+        if not _warned_missing_pretrained:
+            _warned_missing_pretrained = True
+            print(
+                "WARNING: camera_encoder.pretrained=true but no local "
+                f"torchvision resnet18 state_dict found (pretrained_path="
+                f"{cam.pretrained_path!r}); the camera trunk starts from "
+                "RANDOM init. Set model.camera_encoder.pretrained_path to a "
+                "local .pth to match the reference's ImageNet initialization."
+            )
+        return variables, False
+    loaded = load_torch_resnet18_into(variables, str(path))
+    print(f"Loaded pretrained camera trunk from {path}")
+    return loaded, True

@@ -91,6 +91,17 @@ def main(config_path: str | None = None) -> dict:
         trainer.load_checkpoint(str(ckpt))
         print(f"Loaded checkpoint {ckpt}")
     else:
+        # The reference crashes on a missing checkpoint (torch.load raises,
+        # eval.py:208); do NOT write metric files from random weights.
+        # BMOD_ALLOW_RANDOM_INIT=1 opts into the smoke-run behavior.
+        import os
+
+        if os.environ.get("BMOD_ALLOW_RANDOM_INIT") != "1":
+            print(
+                f"Error: {ckpt} not found — refusing to evaluate random "
+                f"init (set BMOD_ALLOW_RANDOM_INIT=1 to override)"
+            )
+            sys.exit(1)
         print(f"Warning: {ckpt} not found — evaluating random init")
 
     # eval-path decode variant (Q3: voxel 0.512), score_thresh 0.0 (Q16)

@@ -147,6 +147,39 @@ def test_targets_dense_maps_at_centers():
     )
 
 
+def test_gaussian_radius_reference_vs_corrected_large_box_fine_grid():
+    """An 18 m box at voxel 0.512 distinguishes the reference's /2 divisors
+    (upstream CornerNet bug, centernet_target.py:131-149) from the corrected
+    /(2a) roots: the radii (and hence heatmaps) must differ, and the default
+    must match the reference formula exactly."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.targets import (
+        gaussian_radius,
+    )
+
+    hpix = wpix = 18.0 / 0.512  # ~35.2 pixels
+    r_ref = float(gaussian_radius(hpix, wpix))
+    r_fix = float(gaussian_radius(hpix, wpix, corrected=True))
+    assert r_ref == pytest.approx(naive_gaussian_radius(hpix, wpix), abs=1e-4)
+    assert int(r_ref) != int(r_fix)  # 3 vs 2 at this size
+
+    # end-to-end: a 200x200 grid (voxel 0.512) heatmap must match the naive
+    # reference reimplementation for the large box
+    boxes = np.zeros((1, 1, 7), np.float32)
+    boxes[0, 0] = [10.0, -20.0, 0.0, 18.0, 18.0, 3.0, 0.0]
+    labels = np.array([[0]], np.int64)
+    out = prepare_centernet_targets(boxes, labels, bev_size=(200, 200))
+    hm_ref, *_ = naive_targets(boxes, labels, bev=(200, 200))
+    np.testing.assert_allclose(
+        np.asarray(out["heatmap"]).transpose(0, 3, 1, 2), hm_ref, atol=1e-5
+    )
+    out_fix = prepare_centernet_targets(
+        boxes, labels, bev_size=(200, 200), corrected_gaussian_radius=True
+    )
+    assert not np.allclose(
+        np.asarray(out_fix["heatmap"]), np.asarray(out["heatmap"])
+    )
+
+
 def test_targets_at_2x_grid_resolution():
     """BASELINE configs[4]: target assignment at a 100x100 BEV grid
     (voxel 1.024 m) — same semantics, finer pixels."""

@@ -67,6 +67,75 @@ def test_trunk_matches_torch_with_same_weights():
     )
 
 
+def test_pretrained_camera_key_is_live(tmp_path, tiny_spec):
+    """`camera_encoder.pretrained` + `pretrained_path` must actually load the
+    torchvision trunk at Trainer.init_state (ref: encoders.py:98) — the key
+    may not be parsed-but-dead."""
+    import dataclasses
+
+    from conftest import tiny_batch
+    from bevfusion_multimodal_3d_object_detection_tpu.config import TrainSpec
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    torch.manual_seed(1)
+    tmodel = TorchReferenceDetector().eval()
+    sd = _torchvision_style_state_dict(tmodel)
+    path = str(tmp_path / "resnet18.pth")
+    torch.save(sd, path)
+
+    spec = dataclasses.replace(
+        tiny_spec,
+        camera=dataclasses.replace(
+            tiny_spec.camera, pretrained=True, pretrained_path=path
+        ),
+    )
+    model = MultiModal3DDetector(spec=spec)
+    trainer = Trainer(model, TrainSpec(batch_size=2))
+    trainer.init_state(tiny_batch())
+
+    expected_params, expected_stats = convert_resnet18_state_dict(sd)
+    trunk = trainer.state.params["camera_encoder"]["trunk"]
+    np.testing.assert_array_equal(
+        np.asarray(trunk["conv1"]["kernel"]),
+        expected_params["conv1"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(
+            trainer.state.batch_stats["camera_encoder"]["trunk"]["layer3_1"][
+                "bn2"
+            ]["mean"]
+        ),
+        expected_stats["layer3_1"]["bn2"]["mean"],
+    )
+
+
+def test_pretrained_true_without_file_warns_not_crashes(tiny_spec, capsys):
+    """pretrained: true with no local file must warn and proceed from random
+    init (no network egress here), never crash."""
+    import dataclasses
+
+    from bevfusion_multimodal_3d_object_detection_tpu.utils import (
+        torch_convert,
+    )
+
+    spec = dataclasses.replace(
+        tiny_spec,
+        camera=dataclasses.replace(
+            tiny_spec.camera,
+            pretrained=True,
+            pretrained_path="/nonexistent/resnet18.pth",
+        ),
+    )
+    torch_convert._warned_missing_pretrained = False
+    variables = {"params": {}, "batch_stats": {}}
+    out, loaded = torch_convert.maybe_load_pretrained_camera(variables, spec)
+    assert not loaded and out is variables
+    assert "RANDOM" in capsys.readouterr().out
+
+
 def test_torch_baseline_param_count_matches_jax_flagship():
     """The CPU-baseline torch model must be FLOP/param-equivalent to the JAX
     flagship (~55.2M params) for the benchmark ratio to be fair."""

@@ -29,12 +29,15 @@ def trainer_and_batch(tiny_spec):
 
 def test_train_step_updates_params_and_finite_loss(trainer_and_batch):
     trainer, batch = trainer_and_batch
-    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+    # train_step donates its input state (donate_argnums=(0,)) — snapshot
+    # everything we compare against BEFORE the call
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0]).copy()
+    step0 = int(trainer.state.step)
     state, losses = trainer.train_step(trainer.state, batch, trainer.rng)
     assert np.isfinite(float(losses["total_loss"]))
-    assert int(state.step) == int(trainer.state.step) + 1
+    assert int(state.step) == step0 + 1
     p1 = jax.tree_util.tree_leaves(state.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert not np.allclose(p0, np.asarray(p1))
     trainer.state = state
 
 
@@ -48,6 +51,7 @@ def test_loss_decreases_on_overfit_batch(trainer_and_batch):
         if first is None:
             first = val
         last = val
+    trainer.state = state  # the old (donated) state is gone
     assert last < first
 
 
@@ -278,7 +282,9 @@ def test_evaluate_mlp_head_path(tiny_spec):
 def test_checkpoint_strict_false_semantics(tmp_path, tiny_spec):
     """Restoring a camera_only checkpoint into a tri-modal model keeps the
     missing encoders at their current values (the reference loads with
-    strict=False, eval.py:211)."""
+    strict=False, eval.py:211). Like torch's strict=False, a tensor SHAPE
+    mismatch (the fusion conv widens with modality count) raises unless the
+    keep_on_shape_mismatch escape hatch is passed."""
     import dataclasses
 
     cam_spec = dataclasses.replace(
@@ -299,7 +305,9 @@ def test_checkpoint_strict_false_semantics(tmp_path, tiny_spec):
             tri_trainer.state.params["lidar_encoder"]
         )[0]
     ).copy()
-    tri_trainer.load_checkpoint(path)  # must not raise
+    with pytest.raises(ValueError, match="shape mismatch"):
+        tri_trainer.load_checkpoint(path)  # fusion conv width differs
+    tri_trainer.load_checkpoint(path, keep_on_shape_mismatch=True)
     after = np.asarray(
         jax.tree_util.tree_leaves(
             tri_trainer.state.params["lidar_encoder"]

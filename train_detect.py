@@ -97,6 +97,11 @@ def main(config_path: str | None = None) -> None:
     trainer = Trainer(
         model, train_spec, compat, mesh=mesh,
         steps_per_epoch=len(train_loader),
+        # debug.check_gradients (declared-but-dead in the reference,
+        # configs/base.yaml:643): log pre-clip grad norm + finiteness
+        check_gradients=(config.get("debug", {}) or {}).get(
+            "check_gradients", False
+        ),
     )
     batch0 = next(iter(train_loader))
     trainer.init_state(batch0)
