@@ -527,6 +527,14 @@ class TrainSpec:
     max_objects: int = 500
     resume_enable: bool = False
     resume_path: Optional[str] = None
+    # checkpoint serialization: 'msgpack' (single-file), 'orbax', or
+    # 'orbax_async' (background write; required story for multi-host
+    # fault tolerance — train/checkpoint.py)
+    ckpt_backend: str = "msgpack"
+    # resume with no explicit checkpoint_path auto-resumes from the newest
+    # epoch checkpoint in save_dir (preemption recovery; the reference's
+    # train.resume block is declared but never read)
+    resume_auto: bool = True
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "TrainSpec":
@@ -592,6 +600,8 @@ class TrainSpec:
             ),
             resume_enable=resume.get("enable", False),
             resume_path=resume.get("checkpoint_path"),
+            ckpt_backend=ckpt.get("backend", "msgpack"),
+            resume_auto=resume.get("auto", True),
         )
 
 
@@ -644,11 +654,37 @@ class ParallelSpec:
 
     data_parallel: int = 1
     view_parallel: int = 1
+    # multi-host: the TPU-native resurrection of the reference's dead
+    # hardware.gpu.distributed block (enable/backend/world_size/rank,
+    # ref: configs/base.yaml:617-624 — never read there). Coordinator /
+    # process identity default to the JAX_* env vars or TPU-pod
+    # auto-detection (parallel/distributed.py).
+    multi_host: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "ParallelSpec":
         p = _get(cfg, "parallel", default={}) or {}
+        mh = p.get("multi_host", {}) or {}
+        if isinstance(mh, bool):
+            mh = {"enable": mh}
+        # honor the reference's own (dead) distributed block when its
+        # world_size > 1 and multi_host isn't explicitly configured
+        ref_dist = (
+            _get(cfg, "hardware", "gpu", "distributed", default={}) or {}
+        )
+        enable = mh.get("enable", bool(ref_dist.get("enable", False)))
         return ParallelSpec(
             data_parallel=p.get("data_parallel", 1),
             view_parallel=p.get("view_parallel", 1),
+            multi_host=enable,
+            coordinator_address=mh.get("coordinator_address"),
+            num_processes=mh.get(
+                "num_processes", ref_dist.get("world_size") if enable else None
+            ),
+            process_id=mh.get(
+                "process_id", ref_dist.get("rank") if enable else None
+            ),
         )

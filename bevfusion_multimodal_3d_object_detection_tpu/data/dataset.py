@@ -468,6 +468,8 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         num_workers: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -480,6 +482,12 @@ class DataLoader:
         # release the GIL, so threads parallelize the IO-heavy work without
         # torch-style worker processes)
         self.num_workers = num_workers
+        # multi-host data sharding: every process computes the SAME epoch
+        # permutation (seeded rng) and takes a disjoint strided slice of it,
+        # so N hosts cover the epoch exactly once with per-host batches
+        # (parallel/distributed.form_global_batch assembles them on device)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def _fetch(self, indices) -> List[Dict[str, np.ndarray]]:
         if self.num_workers and self.num_workers > 1:
@@ -489,8 +497,15 @@ class DataLoader:
                 return list(pool.map(self.dataset.__getitem__, indices))
         return [self.dataset[int(i)] for i in indices]
 
-    def __len__(self) -> int:
+    def _local_count(self) -> int:
         n = len(self.dataset)
+        if self.process_count > 1:
+            # strided slice: process p gets indices p, p+P, p+2P, ...
+            n = (n - self.process_index + self.process_count - 1) // self.process_count
+        return n
+
+    def __len__(self) -> int:
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -499,6 +514,8 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index :: self.process_count]
         batches = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)

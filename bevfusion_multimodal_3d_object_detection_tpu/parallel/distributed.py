@@ -1,0 +1,144 @@
+"""Multi-host (multi-process) data parallelism over ICI/DCN.
+
+The reference has no distributed implementation at all — its
+`hardware.gpu.distributed` config block (enable/backend/world_size/rank,
+ref: configs/base.yaml:617-624) is declared but never read (no
+torch.distributed import exists; SURVEY §2 parallelism statement). This
+module is the TPU-native resurrection of that dead block:
+
+- `maybe_initialize(spec)` calls `jax.distributed.initialize` when
+  `parallel.multi_host.enable` is true, with coordinator/process counts from
+  the config or the standard env vars;
+- `global_mesh()` builds the ('data', 'view') mesh over ALL processes'
+  devices;
+- `form_global_batch(mesh, host_batch)` assembles each host's local batch
+  shard into one global jax.Array per key via
+  `jax.make_array_from_process_local_data` — no host ever materializes the
+  global batch;
+- the DataLoader shards the sample index stream per process
+  (`process_index`/`process_count` args, data/dataset.py), so each host
+  reads only its slice of the epoch.
+
+Numerics contract: N processes at per-host batch B reproduce single-process
+execution at global batch N*B exactly (same param updates), because jit
+partitions the same global computation either way — verified by
+tests/test_multihost.py with two real CPU processes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import batch_sharding
+
+
+def maybe_initialize(
+    enable: bool,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """`jax.distributed.initialize` behind the resurrected config switch.
+
+    Arguments fall back to the standard env vars (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID), and those fall back to jax's own
+    cluster auto-detection (TPU pods populate them from the metadata server).
+    Returns True when distributed mode is active. Safe to call twice.
+    """
+    if not enable:
+        return False
+    # NOTE: must not touch jax.devices()/process_count() here — any backend
+    # query initializes XLA and makes jax.distributed.initialize illegal.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already initialized
+    kwargs = {}
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        kwargs["coordinator_address"] = coord
+    nproc = num_processes if num_processes is not None else os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+    pid = process_id if process_id is not None else os.environ.get(
+        "JAX_PROCESS_ID"
+    )
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def global_mesh(n_view: int = 1) -> Mesh:
+    """('data', 'view') mesh over ALL global devices (every process sees the
+    same mesh; devices are ordered process-major so each host's data shard
+    lands on its own local chips)."""
+    devices = jax.devices()
+    n_data = len(devices) // n_view
+    devs = np.asarray(devices[: n_data * n_view]).reshape(n_data, n_view)
+    return Mesh(devs, axis_names=("data", "view"))
+
+
+def form_global_batch(mesh: Mesh, host_batch: Dict) -> Dict:
+    """Assemble per-process local batches into global, 'data'-sharded arrays.
+
+    Each process passes its LOCAL batch (shape (B_local, ...)); the result is
+    a dict of global jax.Arrays of shape (B_local * n_processes_on_data, ...)
+    sharded over the mesh's 'data' axis, with each shard resident on the
+    process that produced it — zero cross-host data movement.
+
+    Non-array values (e.g. 'tokens') pass through unchanged.
+    """
+    out = {}
+    for k, v in host_batch.items():
+        if not isinstance(v, (np.ndarray, jax.Array)):
+            out[k] = v
+            continue
+        sharding = batch_sharding(mesh, np.ndim(v))
+        out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+    return out
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Coordination-service barrier across all processes (gRPC — does NOT go
+    through the XLA collectives backend, so it works before the first
+    collective executes). Use to align processes before the first sharded
+    step: collective-context setup (e.g. Gloo on CPU) has a short internal
+    rendezvous deadline that single-core compile skew can exceed."""
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:
+        return  # single-process
+    client.wait_at_barrier(name, int(timeout_s * 1000))
+
+
+def is_multi_process(mesh: Optional[Mesh] = None) -> bool:
+    if mesh is not None:
+        procs = {d.process_index for d in mesh.devices.flat}
+        return len(procs) > 1
+    return jax.process_count() > 1
+
+
+def all_processes_mean(values: Dict[str, float]) -> Dict[str, float]:
+    """Mean scalar metrics across processes (e.g. per-host eval losses).
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return dict(values)
+    from jax.experimental import multihost_utils
+
+    keys = sorted(values)
+    local = np.asarray([float(values[k]) for k in keys], np.float32)
+    stacked = multihost_utils.process_allgather(local)
+    mean = np.mean(stacked, axis=0)
+    return {k: float(mean[i]) for i, k in enumerate(keys)}

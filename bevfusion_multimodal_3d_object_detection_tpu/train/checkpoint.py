@@ -23,8 +23,58 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+# one AsyncCheckpointer reused across saves so in-flight writes can be
+# awaited (wait_for_checkpoints) before process exit / the next save
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all in-flight async checkpoint writes are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def latest_checkpoint(save_dir: str, prefix: str = "checkpoint_epoch_"):
+    """(path, epoch) of the newest epoch checkpoint in `save_dir` (msgpack
+    file or orbax directory), or (None, -1). Powers train.resume auto-resume
+    after preemption — the fault-tolerance story the reference lacks."""
+    d = Path(save_dir)
+    if not d.exists():
+        return None, -1
+    best, best_epoch = None, -1
+    for p in d.glob(f"{prefix}*"):
+        stem = p.stem if p.suffix else p.name
+        try:
+            epoch = int(stem.replace(prefix, "").split(".")[0])
+        except ValueError:
+            continue
+        if epoch > best_epoch:
+            best, best_epoch = p, epoch
+    return (str(best), best_epoch) if best else (None, -1)
+
+
 def save_checkpoint(path: str, payload: Dict[str, Any], backend: str = "msgpack") -> None:
+    """`backend`: 'msgpack' (single-file, host-local), 'orbax' (multi-host /
+    sharded, blocking), or 'orbax_async' (write proceeds in the background;
+    call `wait_for_checkpoints()` to fence — the train loop overlaps the next
+    steps with the write)."""
     p = Path(path)
+    if backend == "orbax_async":
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # one write in flight at a time
+        import orbax.checkpoint as ocp
+
+        ckptr.save(p.absolute(), args=ocp.args.StandardSave(payload), force=True)
+        return
     if backend == "orbax":
         import orbax.checkpoint as ocp
 

@@ -459,8 +459,12 @@ class Trainer:
             if isinstance(v, (np.ndarray, jax.Array))
         }
         if self.mesh is not None:
-            from ..parallel import shard_batch
+            from ..parallel import form_global_batch, is_multi_process, shard_batch
 
+            if is_multi_process(self.mesh):
+                # each host contributes its local shard; jit sees one global
+                # 'data'-sharded batch (parallel/distributed.py)
+                return form_global_batch(self.mesh, arrays)
             return shard_batch(self.mesh, arrays)
         return arrays
 

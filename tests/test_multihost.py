@@ -1,0 +1,178 @@
+"""Multi-host data parallelism: two REAL jax processes on CPU must produce
+exactly the numerics of a single-process run at the same global batch.
+
+This is the integration test for parallel/distributed.py
+(jax.distributed.initialize + global mesh + form_global_batch + per-host
+DataLoader sharding) — the capability the reference declares but never
+implements (hardware.gpu.distributed, configs/base.yaml:617-624).
+"""
+
+import re
+import subprocess
+import socket
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import tiny_batch
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_train_step_matches_single_process(tiny_spec):
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        TrainSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    import dataclasses
+
+    import jax
+
+    # ---- reference: single-process, same global batch of 4 ----
+    # (lidar+radar only, matching _multihost_worker.py — see the note there)
+    spec = dataclasses.replace(tiny_spec, use_camera=False)
+    model = MultiModal3DDetector(spec=spec)
+    trainer = Trainer(model, TrainSpec(batch_size=4), CompatFlags())
+    full = tiny_batch(batch_size=4)
+    trainer.init_state({k: v[:1] for k, v in full.items()})
+    state, losses = trainer.train_step(trainer.state, full, trainer.rng)
+    want_loss = float(losses["total_loss"])
+    want_leaf = float(
+        jax.numpy.sum(jax.tree_util.tree_leaves(state.params)[0])
+    )
+
+    # ---- 2 real processes, 2 CPU devices each, global mesh of 4 ----
+    worker = Path(__file__).parent / "_multihost_worker.py"
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(Path(__file__).parent),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    losses_seen, leaves_seen = [], []
+    for out in outs:
+        m = re.search(r"MULTIHOST_LOSS ([\d.eE+-]+)", out)
+        assert m, out[-4000:]
+        losses_seen.append(float(m.group(1)))
+        m = re.search(r"MULTIHOST_LEAF ([\d.eE+-]+)", out)
+        assert m, out[-4000:]
+        leaves_seen.append(float(m.group(1)))
+
+    # both processes agree with each other and with single-process numerics
+    assert losses_seen[0] == pytest.approx(losses_seen[1], abs=1e-6)
+    assert want_loss == pytest.approx(losses_seen[0], rel=2e-5)
+    assert leaves_seen[0] == pytest.approx(leaves_seen[1], abs=1e-6)
+    assert want_leaf == pytest.approx(leaves_seen[0], rel=2e-4)
+
+
+def test_dataloader_process_sharding_partitions_epoch():
+    """N loaders with (process_index, process_count) cover the epoch exactly
+    once, disjointly, with identical shuffles."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data import DataLoader
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        SyntheticNuScenesDataset,
+    )
+
+    ds = SyntheticNuScenesDataset(
+        num_samples=12, image_size=(8, 16), max_points=32,
+        max_radar_points=8,
+    )
+    seen = []
+    for pid in range(3):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=7, prefetch=0,
+            process_index=pid, process_count=3,
+        )
+        assert len(loader) == 2
+        for batch in loader:
+            seen.extend(batch["tokens"])
+    assert sorted(seen) == sorted(f"synthetic_{i}" for i in range(12))
+    assert len(set(seen)) == 12  # disjoint
+
+
+def test_form_global_batch_single_process_roundtrip():
+    """form_global_batch on a single-process mesh is an identity placement."""
+    import jax
+
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        form_global_batch,
+        global_mesh,
+        is_multi_process,
+    )
+
+    mesh = global_mesh()
+    assert not is_multi_process(mesh)
+    batch = tiny_batch(batch_size=8)
+    out = form_global_batch(mesh, batch)
+    assert out["camera_imgs"].shape == batch["camera_imgs"].shape
+    np.testing.assert_array_equal(
+        np.asarray(out["gt_boxes"]), batch["gt_boxes"]
+    )
+    # sharded over 'data'
+    assert out["camera_imgs"].sharding.spec[0] == "data"
+
+
+def test_latest_checkpoint_discovery(tmp_path):
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        latest_checkpoint,
+    )
+
+    assert latest_checkpoint(str(tmp_path)) == (None, -1)
+    (tmp_path / "checkpoint_epoch_2.msgpack").write_bytes(b"x")
+    (tmp_path / "checkpoint_epoch_10.msgpack").write_bytes(b"x")
+    (tmp_path / "best_model.msgpack").write_bytes(b"x")
+    path, epoch = latest_checkpoint(str(tmp_path))
+    assert epoch == 10 and path.endswith("checkpoint_epoch_10.msgpack")
+    # orbax-style directory checkpoints are discovered too
+    (tmp_path / "checkpoint_epoch_11").mkdir()
+    path, epoch = latest_checkpoint(str(tmp_path))
+    assert epoch == 11
+
+
+def test_async_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    payload = {"w": jnp.arange(4.0), "step": jnp.asarray(3)}
+    path = str(tmp_path / "ckpt_async")
+    save_checkpoint(path, payload, backend="orbax_async")
+    wait_for_checkpoints()
+    restored = load_checkpoint(
+        path, {"w": jnp.zeros(4), "step": jnp.zeros((), jnp.int32)}
+    )
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
+    assert int(restored["step"]) == 3

@@ -57,9 +57,25 @@ def main(config_path: str | None = None) -> None:
     compat = CompatFlags.from_config(config)
     par = ParallelSpec.from_config(config)
 
+    # multi-host: jax.distributed.initialize behind parallel.multi_host
+    # (the TPU-native resurrection of the reference's dead
+    # hardware.gpu.distributed block, configs/base.yaml:617-624)
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        maybe_initialize,
+    )
+
+    multi_host = maybe_initialize(
+        par.multi_host,
+        coordinator_address=par.coordinator_address,
+        num_processes=par.num_processes,
+        process_id=par.process_id,
+    )
+    is_main = jax.process_index() == 0
+
     print(f"Model: {spec.modality_string()} / {spec.fusion_type} / "
           f"{spec.detection_head}")
-    print(f"Devices: {jax.devices()}")
+    print(f"Devices: {jax.devices()} "
+          f"(process {jax.process_index()}/{jax.process_count()})")
 
     # emit_uint8: images ship as raw bytes and are normalized on device
     # inside the jitted step (4x less host->device traffic)
@@ -71,14 +87,28 @@ def main(config_path: str | None = None) -> None:
         data_root=data_spec.data_root, split="val", config=config,
         seed=train_spec.seed, emit_uint8=True,
     )
+    # per-host epoch sharding: each process reads only its strided slice
     train_loader = DataLoader(
         train_ds, batch_size=train_spec.batch_size, shuffle=True,
         drop_last=True, seed=train_spec.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
-    val_loader = DataLoader(val_ds, batch_size=train_spec.batch_size)
+    val_loader = DataLoader(
+        val_ds, batch_size=train_spec.batch_size,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
 
     mesh = None
-    if par.data_parallel > 1 or par.view_parallel > 1:
+    if multi_host:
+        from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+            global_mesh,
+        )
+
+        mesh = global_mesh(n_view=par.view_parallel)
+        print(f"Global mesh: {mesh}")
+    elif par.data_parallel > 1 or par.view_parallel > 1:
         from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
             make_mesh,
         )
@@ -107,9 +137,21 @@ def main(config_path: str | None = None) -> None:
     trainer.init_state(batch0)
 
     start_epoch = 0
-    if train_spec.resume_enable and train_spec.resume_path:
-        start_epoch = trainer.load_checkpoint(train_spec.resume_path) + 1
-        print(f"Resumed from {train_spec.resume_path} at epoch {start_epoch}")
+    if train_spec.resume_enable:
+        resume_path = train_spec.resume_path
+        if not resume_path and train_spec.resume_auto:
+            # auto-resume from the newest epoch checkpoint (preemption
+            # recovery; train/checkpoint.latest_checkpoint)
+            from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+                latest_checkpoint,
+            )
+
+            resume_path, _ = latest_checkpoint(train_spec.save_dir)
+        if resume_path:
+            start_epoch = trainer.load_checkpoint(
+                resume_path, backend=train_spec.ckpt_backend
+            ) + 1
+            print(f"Resumed from {resume_path} at epoch {start_epoch}")
 
     save_dir = Path(train_spec.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
@@ -142,12 +184,19 @@ def main(config_path: str | None = None) -> None:
             f"Epoch {epoch}: loss={avg_loss:.4f} "
             f"({time.time() - t0:.1f}s)"
         )
+        backend = train_spec.ckpt_backend
+        # msgpack is host-local: only process 0 writes; orbax backends
+        # coordinate across processes themselves
+        writes = backend.startswith("orbax") or is_main
         if (epoch + 1) % train_spec.save_interval == 0 or (
             epoch + 1 == train_spec.num_epochs
         ):
-            trainer.save_checkpoint(
-                str(save_dir / f"checkpoint_epoch_{epoch}.msgpack"), epoch
-            )
+            suffix = ".msgpack" if backend == "msgpack" else ""
+            if writes:
+                trainer.save_checkpoint(
+                    str(save_dir / f"checkpoint_epoch_{epoch}{suffix}"),
+                    epoch, backend=backend,
+                )
             # honor train.checkpoint.keep_last (declared in the reference
             # config but unimplemented there)
             keep_last = (
@@ -155,21 +204,52 @@ def main(config_path: str | None = None) -> None:
                 .get("checkpoint", {})
                 .get("keep_last", 0)
             )
-            if keep_last and keep_last > 0:
+            if keep_last and keep_last > 0 and is_main:
+                import shutil
+
                 ckpts = sorted(
-                    save_dir.glob("checkpoint_epoch_*.msgpack"),
+                    save_dir.glob("checkpoint_epoch_*"),
                     key=lambda p: int(p.stem.split("_")[-1]),
                 )
                 for old in ckpts[:-keep_last]:
-                    old.unlink()
+                    if old.is_dir():
+                        shutil.rmtree(old)
+                    else:
+                        old.unlink()
         metrics = trainer.evaluate(val_loader)
-        save_and_print_metrics(metrics, "metrics_output.txt")
+        if multi_host:
+            # each host evaluated its val-split slice; average the scalar
+            # metrics across processes (per-class lists stay host-local)
+            from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+                all_processes_mean,
+            )
+
+            scalars = {
+                k: v for k, v in metrics.items()
+                if isinstance(v, (int, float))
+            }
+            metrics = {**metrics, **all_processes_mean(scalars)}
+        if is_main:
+            save_and_print_metrics(metrics, "metrics_output.txt")
         if train_spec.save_best and metrics["mAP"] > trainer.best_map:
             trainer.best_map = metrics["mAP"]
-            trainer.save_checkpoint(
-                str(save_dir / "best_model.msgpack"), epoch, best=True
-            )
+            if writes:
+                trainer.save_checkpoint(
+                    str(
+                        save_dir
+                        / ("best_model.msgpack" if backend == "msgpack"
+                           else "best_model")
+                    ),
+                    epoch, best=True, backend=backend,
+                )
             print(f"New best mAP {trainer.best_map:.4f} — saved best_model")
+
+    # fence any in-flight async checkpoint writes before exiting
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        wait_for_checkpoints,
+    )
+
+    wait_for_checkpoints()
 
 
 def inference(model_path: str, data_root: str = "./data/nuscenes") -> None:
