@@ -93,6 +93,7 @@ class InferenceEngine:
         config_path: str = "configs/base.yaml",
         score_threshold: float = 0.3,
         config: Optional[Dict] = None,
+        fold_bn: Optional[bool] = None,
     ):
         # direct config dict OR config_path, like every reference class
         # (ref: inference.py:42-94 / the config= | config_path= pattern)
@@ -105,13 +106,31 @@ class InferenceEngine:
             )
         )
         self.score_threshold = score_threshold
+        inference_cfg = self.config.get("inference", {}) or {}
         self.save_predictions = bool(
-            (self.config.get("inference", {}) or {}).get(
-                "save_predictions", True
-            )
+            inference_cfg.get("save_predictions", True)
+        )
+        # serving-graph BN folding (utils/fold_bn.py): checkpoints restore
+        # into the standard (unfolded) tree, then the camera BNs fold into
+        # their convs and the serving model runs without them
+        self.fold_bn = (
+            bool(inference_cfg.get("fold_bn", False))
+            if fold_bn is None
+            else fold_bn
         )
         self.model = MultiModal3DDetector(
-            spec=self.spec, mask_padding=not self.compat.unmasked_point_padding
+            spec=self.spec,
+            mask_padding=not self.compat.unmasked_point_padding,
+            fold_bn=self.fold_bn,
+        )
+        # unfolded twin used only to init/restore checkpoints
+        self._restore_model = (
+            MultiModal3DDetector(
+                spec=self.spec,
+                mask_padding=not self.compat.unmasked_point_padding,
+            )
+            if self.fold_bn
+            else self.model
         )
         self.variables = None
         if model_path is not None:
@@ -134,10 +153,11 @@ class InferenceEngine:
         from .utils.torch_convert import maybe_load_pretrained_camera
 
         rng = jax.random.PRNGKey(0)
-        variables = self.model.init(
+        variables = self._restore_model.init(
             {"params": rng}, *self._inputs(sample, batch=True), train=False
         )
-        self.variables, _ = maybe_load_pretrained_camera(variables, self.spec)
+        variables, _ = maybe_load_pretrained_camera(variables, self.spec)
+        self.variables = self._maybe_fold(variables)
 
     def load_model(self, model_path: str, strict: bool = True) -> None:
         """Load a checkpoint saved by the Trainer — or a torch `.pth`
@@ -149,7 +169,7 @@ class InferenceEngine:
         warn-and-randomize behavior for smoke runs."""
         rng = jax.random.PRNGKey(0)
         dummy = self._dummy_sample()
-        variables = self.model.init(
+        variables = self._restore_model.init(
             {"params": rng}, *self._inputs(dummy, batch=True), train=False
         )
         template = {
@@ -162,16 +182,18 @@ class InferenceEngine:
                     load_reference_checkpoint_into,
                 )
 
-                self.variables = load_reference_checkpoint_into(
-                    template, model_path
+                self.variables = self._maybe_fold(
+                    load_reference_checkpoint_into(template, model_path)
                 )
                 print(f"Migrated reference torch checkpoint {model_path}")
             else:
                 restored = load_checkpoint(model_path, template)
-                self.variables = {
-                    "params": restored["params"],
-                    "batch_stats": restored["batch_stats"],
-                }
+                self.variables = self._maybe_fold(
+                    {
+                        "params": restored["params"],
+                        "batch_stats": restored["batch_stats"],
+                    }
+                )
         except Exception as e:
             if strict:
                 raise RuntimeError(
@@ -179,7 +201,14 @@ class InferenceEngine:
                 ) from e
             print(f"Warning: failed to restore '{model_path}' ({e}); "
                   f"using random init")
-            self.variables = variables
+            self.variables = self._maybe_fold(variables)
+
+    def _maybe_fold(self, variables: Dict) -> Dict:
+        if not self.fold_bn:
+            return variables
+        from .utils.fold_bn import fold_camera_variables
+
+        return fold_camera_variables(variables)
 
     def _dummy_sample(self) -> Dict:
         h, w = self.spec.camera.image_size

@@ -43,6 +43,8 @@ class MultiModal3DDetector(nn.Module):
     mask_padding: bool = False  # compat Q13 (False = reference behavior)
     # fused Pallas PointNet on the inference path (ops/pointnet_pallas.py)
     use_pallas_infer: bool = False
+    # serving-graph camera BN folding (utils/fold_bn.py); inference-only
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(
@@ -58,7 +60,8 @@ class MultiModal3DDetector(nn.Module):
         cam_feat = None
         if s.use_camera and camera_imgs is not None:
             cam_feat = ResNetCameraEncoder(
-                spec=s.camera, dtype=self.dtype, name="camera_encoder"
+                spec=s.camera, dtype=self.dtype, fold_bn=self.fold_bn,
+                name="camera_encoder",
             )(camera_imgs, train=train)
 
         lidar_feat = None
@@ -150,6 +153,7 @@ def create_detector(
     dtype: Any = jnp.float32,
     mask_padding: bool = False,
     use_pallas_infer: bool = False,
+    fold_bn: bool = False,
 ) -> MultiModal3DDetector:
     """Factory mirroring the reference `create_detector`
     (ref: fusion.py:1148-1221): accepts a modality string
@@ -166,5 +170,5 @@ def create_detector(
     )
     return MultiModal3DDetector(
         spec=spec, dtype=dtype, mask_padding=mask_padding,
-        use_pallas_infer=use_pallas_infer,
+        use_pallas_infer=use_pallas_infer, fold_bn=fold_bn,
     )

@@ -41,6 +41,9 @@ class ResNetCameraEncoder(nn.Module):
 
     spec: CameraEncoderSpec = CameraEncoderSpec()
     dtype: Any = jnp.float32
+    # serving-graph BN folding: weights pre-scaled via
+    # utils/fold_bn.fold_bn_params; the graph runs conv(+bias)+relu only
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -54,19 +57,21 @@ class ResNetCameraEncoder(nn.Module):
             x = x.reshape((b * n,) + x.shape[2:])
 
         x = ResNet18Trunk(
-            dtype=self.dtype, remat=self.spec.remat, name="trunk"
+            dtype=self.dtype, remat=self.spec.remat, fold_bn=self.fold_bn,
+            name="trunk",
         )(x, train=bn_train)
         x = nn.Conv(
             self.spec.out_channels,
             (1, 1),
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             name="channel_proj",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="channel_proj_bn",
-        )(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="channel_proj_bn",
+            )(x)
         x = nn.relu(x)
 
         if multi_view:

@@ -26,51 +26,59 @@ class BasicBlock(nn.Module):
     channels: int
     strides: int = 1
     dtype: Any = jnp.float32
+    # inference-graph BN folding: convs carry a bias and the BN disappears
+    # entirely (weights pre-scaled by utils/fold_bn.fold_bn_params). Removes
+    # one HBM-bound elementwise pass per conv from the serving graph.
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.fold_bn and train), "fold_bn is inference-only"
         residual = x
         y = nn.Conv(
             self.channels,
             (3, 3),
             strides=(self.strides, self.strides),
             padding=((1, 1), (1, 1)),
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             name="conv1",
         )(x)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(y)
+        if not self.fold_bn:
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn1",
+            )(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.channels,
             (3, 3),
             strides=(1, 1),
             padding=((1, 1), (1, 1)),
-            use_bias=False,
+            use_bias=self.fold_bn,
             dtype=self.dtype,
             name="conv2",
         )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn2",
-        )(y)
+        if not self.fold_bn:
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn2",
+            )(y)
 
         if self.strides != 1 or residual.shape[-1] != self.channels:
             residual = nn.Conv(
                 self.channels,
                 (1, 1),
                 strides=(self.strides, self.strides),
-                use_bias=False,
+                use_bias=self.fold_bn,
                 dtype=self.dtype,
                 name="downsample_conv",
             )(residual)
-            residual = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="downsample_bn",
-            )(residual)
+            if not self.fold_bn:
+                residual = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="downsample_bn",
+                )(residual)
 
         return nn.relu(y + residual)
 
@@ -122,6 +130,8 @@ class ResNet18Trunk(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2)
     stage_channels: Sequence[int] = (64, 128, 256)
     space_to_depth: bool = False
+    # serving-graph BN folding (see BasicBlock.fold_bn)
+    fold_bn: bool = False
     # rematerialize each residual block in the backward pass
     # (jax.checkpoint): trades ~30% more FLOPs for not keeping the large
     # early-stage activations (112x200x64 etc.) live through the backward —
@@ -130,6 +140,9 @@ class ResNet18Trunk(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert not (self.fold_bn and (train or self.space_to_depth)), (
+            "fold_bn is inference-only and incompatible with space_to_depth"
+        )
         if self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             conv1 = nn.Conv(
                 64,
@@ -152,14 +165,15 @@ class ResNet18Trunk(nn.Module):
                 (7, 7),
                 strides=(2, 2),
                 padding=((3, 3), (3, 3)),
-                use_bias=False,
+                use_bias=self.fold_bn,
                 dtype=self.dtype,
                 name="conv1",
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(x)
+        if not self.fold_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn1",
+            )(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1)
         x = nn.max_pool(
@@ -180,6 +194,7 @@ class ResNet18Trunk(nn.Module):
                     channels=channels,
                     strides=strides,
                     dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x, train)
         return x
