@@ -1,0 +1,281 @@
+"""Batched inference server — the production serving wrapper (ROADMAP 7).
+
+The reference has no serving story at all (its `InferenceEngine` reloads the
+model per call — quirk Q17, ref: inference.py:164-165). This module provides
+the TPU deployment path:
+
+- ONE jitted forward+decode graph, compiled once at startup for a fixed
+  `batch_size` (static shapes — no recompiles in steady state);
+- a background dispatch thread that coalesces concurrent requests into
+  full batches (partial batches are padded; padding rows are dropped on the
+  way out), trading at most `max_delay_ms` of latency for MXU utilization;
+- bf16 compute by default (f32 decode outputs), optional serving-graph BN
+  folding (utils/fold_bn.py) and the fused Pallas PointNet
+  (ops/pointnet_pallas.py);
+- per-request futures: `submit()` returns a `concurrent.futures.Future`,
+  `infer()` is the blocking convenience wrapper.
+
+Synchronization note: results are fetched with a small host transfer (the
+tunneled platform's `block_until_ready` is unreliable; CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import CompatFlags, DetectorSpec, load_config
+
+
+class InferenceServer:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        config_path: str = "configs/base.yaml",
+        config: Optional[Dict] = None,
+        batch_size: int = 8,
+        max_delay_ms: float = 5.0,
+        score_threshold: float = 0.3,
+        use_bf16: bool = True,
+        fold_bn: bool = True,
+        use_pallas: bool = False,
+        variables: Optional[Dict] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from .models import MultiModal3DDetector
+        from .ops.decode import decode_centernet_predictions
+
+        self.config = config if config is not None else load_config(config_path)
+        self.spec = DetectorSpec.from_config(self.config)
+        self.compat = CompatFlags.from_config(self.config)
+        self.batch_size = batch_size
+        self.max_delay_s = max_delay_ms / 1000.0
+        self.score_threshold = score_threshold
+        dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+
+        self.model = MultiModal3DDetector(
+            spec=self.spec,
+            dtype=dtype,
+            mask_padding=not self.compat.unmasked_point_padding,
+            use_pallas_infer=use_pallas,
+            fold_bn=fold_bn,
+        )
+
+        # restore through the unfolded twin, then fold for serving
+        restore_model = (
+            MultiModal3DDetector(
+                spec=self.spec,
+                dtype=dtype,
+                mask_padding=not self.compat.unmasked_point_padding,
+            )
+            if fold_bn
+            else self.model
+        )
+        if variables is None:
+            rng = jax.random.PRNGKey(0)
+            dummy = self._zero_inputs(1)
+            variables = restore_model.init(
+                {"params": rng}, *dummy, train=False
+            )
+            if model_path is not None:
+                from .train.checkpoint import load_checkpoint
+
+                template = {
+                    "params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                }
+                restored = load_checkpoint(model_path, template)
+                variables = {
+                    "params": restored["params"],
+                    "batch_stats": restored["batch_stats"],
+                }
+        if fold_bn:
+            from .utils.fold_bn import fold_camera_variables
+
+            variables = fold_camera_variables(variables)
+        self.variables = variables
+
+        if self.compat.eval_decode_voxel_0512:
+            voxel_size = 0.512  # Q3
+        else:
+            x0, _, _, x1, _, _ = self.spec.bev.pc_range
+            voxel_size = (x1 - x0) / self.spec.bev.bev_w
+
+        spec = self.spec
+
+        @jax.jit
+        def _serve(variables, cams, lidar, radars):
+            preds = self.model.apply(
+                variables,
+                cams if spec.use_camera else None,
+                lidar if spec.use_lidar else None,
+                radars if spec.use_radar else None,
+                train=False,
+            )
+            return decode_centernet_predictions(
+                preds,
+                max_detections=spec.centernet.max_detections,
+                voxel_size=voxel_size,
+                pc_range=spec.bev.pc_range,
+                class_always_zero=self.compat.decode_class_always_zero,
+            )
+
+        self._serve = _serve
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {
+            "requests": 0, "batches": 0, "padded_rows": 0,
+            "total_latency_s": 0.0,
+        }
+
+    # -- lifecycle -------------------------------------------------------------
+    def start(self, warmup: bool = True) -> "InferenceServer":
+        if warmup:
+            self._run_batch([self._zero_sample()] * self.batch_size)
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- API ---------------------------------------------------------------------
+    def submit(self, sample: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one sample (dataset-format dict); resolves to a detections
+        dict {boxes (K, 9), scores (K,), labels (K,)} above score_threshold."""
+        fut: Future = Future()
+        self._queue.put((sample, fut, time.perf_counter()))
+        return fut
+
+    def infer(self, sample: Dict[str, np.ndarray], timeout: float = 60.0):
+        return self.submit(sample).result(timeout=timeout)
+
+    # -- internals ---------------------------------------------------------------
+    def _zero_inputs(self, b: int):
+        import jax.numpy as jnp
+
+        h, w = self.spec.camera.image_size
+        return (
+            jnp.zeros((b, 6, h, w, 3), self.model.dtype),
+            jnp.zeros(
+                (b, self.spec.lidar.max_points, self.spec.lidar.input_channels),
+                self.model.dtype,
+            ),
+            jnp.zeros(
+                (
+                    b,
+                    self.spec.radar.num_radars,
+                    self.spec.radar.max_points_per_sensor,
+                    self.spec.radar.input_channels,
+                ),
+                self.model.dtype,
+            ),
+        )
+
+    def _zero_sample(self) -> Dict[str, np.ndarray]:
+        h, w = self.spec.camera.image_size
+        return {
+            "camera_imgs": np.zeros((6, h, w, 3), np.float32),
+            "lidar_points": np.zeros(
+                (self.spec.lidar.max_points, self.spec.lidar.input_channels),
+                np.float32,
+            ),
+            "radar_points": np.zeros(
+                (
+                    self.spec.radar.num_radars,
+                    self.spec.radar.max_points_per_sensor,
+                    self.spec.radar.input_channels,
+                ),
+                np.float32,
+            ),
+        }
+
+    def _dispatch(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            samples = [b[0] for b in batch]
+            futures = [b[1] for b in batch]
+            t_enq = min(b[2] for b in batch)
+            try:
+                results = self._run_batch(samples)
+                for fut, res in zip(futures, results):
+                    fut.set_result(res)
+            except Exception as e:  # surface server errors to callers
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["padded_rows"] += self.batch_size - len(batch)
+            self.stats["total_latency_s"] += time.perf_counter() - t_enq
+
+    def _run_batch(self, samples: List[Dict]) -> List[Dict]:
+        import jax.numpy as jnp
+
+        n = len(samples)
+        pad = self.batch_size - n
+        padded = samples + [self._zero_sample()] * pad
+        cams = jnp.asarray(
+            np.stack([s["camera_imgs"] for s in padded]), self.model.dtype
+        )
+        lidar = jnp.asarray(
+            np.stack([s["lidar_points"] for s in padded]), self.model.dtype
+        )
+        radars = jnp.asarray(
+            np.stack([s["radar_points"] for s in padded]), self.model.dtype
+        )
+        out = self._serve(self.variables, cams, lidar, radars)
+        # ONE small host transfer for the whole batch; boxes ship as
+        # (K, 9) = [x y z w l h yaw vx vy] (decode returns 7-col boxes with
+        # velocities separate)
+        boxes = np.concatenate(
+            [
+                np.asarray(out["boxes"], np.float32),
+                np.asarray(out["velocities"], np.float32),
+            ],
+            axis=-1,
+        )
+        scores = np.asarray(out["scores"], np.float32)
+        labels = np.asarray(out["labels"], np.int64)
+        results = []
+        for i in range(n):
+            keep = scores[i] > self.score_threshold
+            results.append(
+                {
+                    "boxes": boxes[i][keep],
+                    "scores": scores[i][keep],
+                    "labels": labels[i][keep],
+                }
+            )
+        return results
