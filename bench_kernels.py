@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Kernel-level TPU benchmarks (VERDICT r1 items 4/7/8):
+
+  python bench_kernels.py [pointnet] [bevpool] [foldbn] [trunk]
+
+- pointnet: fused Pallas PointNet (ops/pointnet_pallas.py) vs the XLA path,
+  35k points, batches 8..128.
+- bevpool:  Pallas BEVPool v2 (ops/bev_pool_pallas.py) vs XLA scatter-add
+  (ops/bev_splat.py), 50x50 and 100x100 grids, D=40.
+- foldbn:   camera trunk with/without serving-graph BN folding.
+- trunk:    ResNet trunk step time at the production shape (roofline point).
+
+Prints one human line per measurement plus a JSON summary to stderr-free
+stdout at the end. Run with BMOD_PLATFORM unset (TPU) — CPU runs are
+meaningless for these comparisons.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x) -> float:
+    return float(np.asarray(x).ravel()[0])
+
+
+def _time(fn, *args, warmup=2, iters=10) -> float:
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_pointnet(results):
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        LidarEncoderSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.encoders import (
+        PointNetLiDAREncoder,
+    )
+
+    spec = LidarEncoderSpec(max_points=35000)
+    rng = jax.random.PRNGKey(0)
+    for use_pallas in (False, True):
+        enc = PointNetLiDAREncoder(
+            spec=spec, dtype=jnp.bfloat16, use_pallas_infer=use_pallas
+        )
+        for bs in (8, 32, 128):
+            x = jax.random.normal(rng, (bs, 35000, 4), jnp.bfloat16)
+            variables = enc.init({"params": rng}, x[:1])
+            fn = jax.jit(lambda v, x: jnp.sum(enc.apply(v, x, train=False)))
+            try:
+                dt = _time(fn, variables, x)
+            except Exception as e:
+                print(f"# pointnet pallas={use_pallas} bs={bs} FAILED: {e}")
+                continue
+            key = f"pointnet_{'pallas' if use_pallas else 'xla'}_b{bs}"
+            results[key] = dt * 1e3
+            print(f"# {key}: {dt * 1e3:.3f} ms ({bs / dt:.0f} samples/s)")
+
+
+def bench_bevpool(results):
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        bev_pool_rows,
+        precompute_bev_chunks,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        bev_scatter_add,
+        precompute_frustum_cells,
+    )
+
+    rs = np.random.RandomState(0)
+    d, fh, fw, c = 40, 28, 50, 256
+    p = d * fh * fw
+    rows = 6  # cameras
+    # realistic frustum ids from a synthetic calibration
+    intr = np.array([[1200.0, 0, 800], [0, 1200.0, 450], [0, 0, 1]])
+    cells_grid = {}
+    for bev in (50, 100):
+        cells = precompute_frustum_cells(
+            intr, np.eye(3), np.zeros(3), (fh, fw), (448, 800),
+            np.linspace(1.0, 60.0, d), (bev, bev),
+            (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        ).reshape(-1)
+        cells_grid[bev] = cells
+
+    for bev in (50, 100):
+        num_cells = bev * bev
+        ids = cells_grid[bev]
+        feats = jnp.asarray(
+            rs.randn(rows, p, c).astype(np.float32)
+        )
+        ids_rows = jnp.asarray(np.broadcast_to(ids, (rows, p)).copy())
+
+        xla = jax.jit(
+            lambda f, i: jnp.sum(bev_scatter_add(f, i, num_cells))
+        )
+        dt = _time(xla, feats, ids_rows)
+        results[f"bevpool_xla_{bev}x{bev}"] = dt * 1e3
+        print(f"# bevpool_xla_{bev}x{bev}: {dt * 1e3:.3f} ms")
+
+        plan = precompute_bev_chunks(ids, num_cells)
+        pi = jnp.asarray(np.broadcast_to(
+            plan["point_idx"], (rows,) + plan["point_idx"].shape).copy())
+        li = jnp.asarray(np.broadcast_to(
+            plan["local_ids"], (rows,) + plan["local_ids"].shape).copy())
+        ba = jnp.asarray(np.broadcast_to(
+            plan["bases"], (rows,) + plan["bases"].shape).copy())
+
+        pallas_fn = jax.jit(
+            lambda f, a, b, cc: jnp.sum(
+                bev_pool_rows(
+                    f, a, b, cc,
+                    num_cells=num_cells,
+                    num_cells_pad=plan["num_cells_pad"],
+                )
+            )
+        )
+        try:
+            dt = _time(pallas_fn, feats, pi, li, ba)
+            results[f"bevpool_pallas_{bev}x{bev}"] = dt * 1e3
+            print(f"# bevpool_pallas_{bev}x{bev}: {dt * 1e3:.3f} ms")
+        except Exception as e:
+            print(f"# bevpool_pallas_{bev}x{bev} FAILED: {e}")
+
+
+def bench_foldbn(results):
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CameraEncoderSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.encoders import (
+        ResNetCameraEncoder,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.fold_bn import (
+        fold_bn_params,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    spec = CameraEncoderSpec(image_size=(448, 800))
+    x = jax.random.normal(rng, (32, 448, 800, 3), jnp.bfloat16)
+
+    enc = ResNetCameraEncoder(spec=spec, dtype=jnp.bfloat16)
+    variables = enc.init({"params": rng}, x[:1])
+    plain = jax.jit(lambda v, x: jnp.sum(enc.apply(v, x, train=False)))
+    dt = _time(plain, variables, x)
+    results["camera_trunk_bn_b32"] = dt * 1e3
+    print(f"# camera_trunk_bn_b32: {dt * 1e3:.2f} ms")
+
+    folded_params = fold_bn_params(
+        variables["params"], variables["batch_stats"]
+    )
+    enc_f = ResNetCameraEncoder(spec=spec, dtype=jnp.bfloat16, fold_bn=True)
+    folded = jax.jit(
+        lambda p, x: jnp.sum(enc_f.apply({"params": p}, x, train=False))
+    )
+    dt = _time(folded, folded_params, x)
+    results["camera_trunk_folded_b32"] = dt * 1e3
+    print(f"# camera_trunk_folded_b32: {dt * 1e3:.2f} ms")
+
+
+def main():
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    import jax
+
+    print(f"# backend: {jax.default_backend()} devices: {jax.devices()}")
+    which = set(sys.argv[1:]) or {"pointnet", "bevpool", "foldbn"}
+    results = {}
+    if "pointnet" in which:
+        bench_pointnet(results)
+    if "bevpool" in which:
+        bench_bevpool(results)
+    if "foldbn" in which or "trunk" in which:
+        bench_foldbn(results)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Pallas BEVPool v2: sorted-chunk camera-to-BEV pooling with a VMEM
+accumulator (the kernel-level alternative to ops/bev_splat.bev_scatter_add's
+XLA scatter-add; north star "camera-to-BEV splat/pooling as a segmented
+scatter-add", VERDICT r1 item 8).
+
+Design (BEVPoolv2-style, arxiv 2211.17111: move ALL index math to
+calibration time):
+
+1. `precompute_bev_chunks` (host, once per calibration): sort frustum points
+   by BEV cell id and greedily cut the sorted stream into fixed-size chunks
+   of <= T points whose cell ids span < W cells. Output is static-shaped:
+   gather indices (n_chunks, T) into the unsorted lifted features (pad
+   entries point at a zero row), window-local cell ids (n_chunks, T), and a
+   base cell per chunk (n_chunks,).
+
+2. `bev_pool_sorted` (device): one Pallas pass over chunks. Each grid step
+   loads its (T, C) feature chunk into VMEM and reduces it to a (W, C)
+   window with ONE one-hot matmul on the MXU:
+
+       local[w, c] = sum_t [local_id[t] == w] * feat[t, c]
+
+   then accumulates `local` into the persistent (num_cells, C) VMEM output
+   at the chunk's base offset. The scatter never touches HBM element-wise —
+   the accumulator lives in VMEM across all grid steps and is written back
+   once.
+
+Why a matmul: TPU has no fast random-access scatter; an (T, W) comparison
+matrix contracted on the MXU turns W-window scatter into dense compute
+(2*T*W*C flops per chunk ~ 33 MFLOP at T=W=C=256 — microseconds on a v5e),
+while the windowing keeps the inflation factor at W instead of num_cells.
+
+Equality vs the XLA path is tested in tests/test_bev_pool_pallas.py;
+bench_bev_pool.py measures both on real hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def precompute_bev_chunks(
+    cell_ids: np.ndarray,
+    num_cells: int,
+    chunk_points: int = 256,
+    window: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Host-side chunking of one camera-row's frustum cell ids.
+
+    Args:
+      cell_ids: (P,) int32 flat BEV cell per frustum point, -1 = out of range
+        (from ops/bev_splat.precompute_frustum_cells, flattened).
+      num_cells: bev_h * bev_w.
+      chunk_points: T, max points per chunk (multiple of 128).
+      window: W, max cell-id span per chunk (multiple of 128).
+
+    Returns dict with STATIC shapes (derived from P/num_cells only):
+      point_idx: (n_chunks, T) int32 gather index into the UNSORTED (P, C)
+        features; P (== one-past-end) marks padding and must gather a zero row.
+      local_ids: (n_chunks, T) int32 in [0, W) (or -1 for padding).
+      bases:     (n_chunks,) int32, base cell of each chunk's window,
+        clamped to [0, num_cells_pad - W].
+      num_cells_pad: () int — num_cells rounded up to a multiple of 8.
+    """
+    p = len(cell_ids)
+    t, w = chunk_points, window
+    num_cells_pad = max(_round_up(num_cells, 8), w)
+    # worst case: every T points forces a cut, plus one cut per W-span
+    n_chunks = (p + t - 1) // t + (num_cells + w - 1) // w + 1
+
+    valid = cell_ids >= 0
+    order = np.argsort(cell_ids[valid], kind="stable")
+    pts = np.flatnonzero(valid)[order].astype(np.int32)
+    ids = cell_ids[pts]
+
+    point_idx = np.full((n_chunks, t), p, np.int32)
+    local_ids = np.full((n_chunks, t), -1, np.int32)
+    bases = np.zeros((n_chunks,), np.int32)
+
+    ci = 0
+    i = 0
+    n = len(pts)
+    while i < n:
+        base = int(ids[i])
+        base = min(base, num_cells_pad - w)
+        # take up to t points whose id stays inside [base, base + w)
+        j = min(i + t, n)
+        j = i + int(np.searchsorted(ids[i:j], base + w, side="left"))
+        count = j - i
+        assert count > 0 and ci < n_chunks
+        point_idx[ci, :count] = pts[i:j]
+        local_ids[ci, :count] = ids[i:j] - base
+        bases[ci] = base
+        ci += 1
+        i = j
+    return {
+        "point_idx": point_idx,
+        "local_ids": local_ids,
+        "bases": bases,
+        "num_cells_pad": num_cells_pad,
+    }
+
+
+def _make_kernel(window: int):
+    def kernel(bases_ref, lids_ref, feats_ref, out_ref):
+        # (T, W) one-hot of window-local ids contracted on the MXU; padding
+        # ids (-1) match no window column and contribute zero
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        t = lids_ref.shape[1]
+        lids = lids_ref[0]
+        feats = feats_ref[0]
+        onehot = (
+            lids[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (t, window), 1)
+        ).astype(feats.dtype)
+        local = jax.lax.dot_general(
+            onehot,
+            feats,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        base = bases_ref[step]
+        out_ref[pl.ds(base, window), :] += local.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_cells", "num_cells_pad", "window", "interpret"),
+)
+def bev_pool_sorted(
+    features: jnp.ndarray,
+    point_idx: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    bases: jnp.ndarray,
+    num_cells: int,
+    num_cells_pad: int,
+    window: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One camera-row BEV pool: (P, C) unsorted lifted features + chunk plan
+    -> (num_cells, C) pooled BEV, f32 accumulation.
+
+    `features` need NOT be pre-gathered: the chunk gather (by `point_idx`,
+    pad row = zeros) happens here, then the Pallas pass accumulates in VMEM.
+    """
+    p, c = features.shape
+    n_chunks, t = point_idx.shape
+    # pad with one zero row for the padding gather index P
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1, c), features.dtype)], axis=0
+    )
+    gathered = feats_pad[point_idx]  # (n_chunks, T, C)
+
+    out = pl.pallas_call(
+        _make_kernel(window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # bases
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, t), lambda i, b_ref: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, t, c), lambda i, b_ref: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (num_cells_pad, c), lambda i, b_ref: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_cells_pad, c), jnp.float32),
+        interpret=interpret,
+    )(bases, local_ids, gathered)
+    return out[:num_cells]
+
+
+def bev_pool_rows(
+    features: jnp.ndarray,
+    point_idx: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    bases: jnp.ndarray,
+    num_cells: int,
+    num_cells_pad: int,
+    window: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched rows: features (X, P, C), plans (X, n_chunks, ...)
+    -> (X, num_cells, C)."""
+    fn = partial(
+        bev_pool_sorted,
+        num_cells=num_cells,
+        num_cells_pad=num_cells_pad,
+        window=window,
+        interpret=interpret,
+    )
+    return jax.vmap(fn)(features, point_idx, local_ids, bases)
