@@ -83,8 +83,15 @@ def probe_tpu(total_budget_s: float = 600.0, attempt_timeout_s: float = 90.0):
             time.sleep(min(30.0 * attempt, 60.0, max(remaining, 1.0)))
 
 
-def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
+def measure_tpu(
+    batch_sizes=(8, 32, 64), warmup=2, iters=8, sweep_budget_s=1500.0
+) -> float:
+    """Sweep batch sizes, biggest-win-first ordering not needed: stop opening
+    new batch sizes once `sweep_budget_s` has elapsed, so one slow cold
+    compile (minutes on the 1-core host) can never starve the whole run of a
+    recorded number — any completed measurement still reports."""
     probe_tpu()
+    sweep_deadline = time.monotonic() + sweep_budget_s
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
@@ -141,6 +148,12 @@ def measure_tpu(batch_sizes=(8, 32, 128), warmup=2, iters=8) -> float:
     best = 0.0
     rs = np.random.RandomState(0)
     for bs in batch_sizes:
+        if best > 0 and time.monotonic() > sweep_deadline:
+            print(
+                f"# sweep budget exhausted; skipping batch>={bs}",
+                file=sys.stderr,
+            )
+            break
         cams = jnp.asarray(
             rs.randn(bs, 6, h, w, 3), jnp.bfloat16
         )
