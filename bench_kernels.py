@@ -119,7 +119,7 @@ def bench_bevpool(results):
         li = jnp.asarray(np.broadcast_to(
             plan["local_ids"], (rows,) + plan["local_ids"].shape).copy())
         ba = jnp.asarray(np.broadcast_to(
-            plan["bases"], (rows,) + plan["bases"].shape).copy())
+            plan["block_idx"], (rows,) + plan["block_idx"].shape).copy())
 
         pallas_fn = jax.jit(
             lambda f, a, b, cc: jnp.sum(

@@ -449,6 +449,9 @@ class DataSpec:
     num_radars: int = 5
     split_ratios: Tuple[float, float, float] = (0.7, 0.2, 0.1)
     num_sweeps: int = 1
+    # radar sweep aggregation (additive capability, like LiDAR num_sweeps;
+    # the reference never reads radar files at all — quirk Q4)
+    radar_num_sweeps: int = 1
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -481,6 +484,7 @@ class DataSpec:
                 ratios.get("test", 0.1),
             ),
             num_sweeps=d.get("num_sweeps", 1),
+            radar_num_sweeps=d.get("radar_num_sweeps", 1),
             image_mean=tuple(aug_norm.get("mean", (0.485, 0.456, 0.406))),
             image_std=tuple(aug_norm.get("std", (0.229, 0.224, 0.225))),
         )

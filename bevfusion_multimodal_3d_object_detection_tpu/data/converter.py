@@ -137,6 +137,10 @@ class ConfigDrivenNuScenesConverter:
         # >1 adds a 'sweeps' list per info (prior LiDAR sweeps with poses for
         # ego-motion-compensated aggregation; extra key, schema-compatible)
         self.num_sweeps = d.get("num_sweeps", 1)
+        # >1 adds 'pose' + 'sweeps' to each per-radar entry (prior radar
+        # sweeps for aggregation with timestamp channels; extra keys,
+        # schema-compatible)
+        self.radar_num_sweeps = d.get("radar_num_sweeps", 1)
         self.out_dir = Path(self.data_root)
 
         try:
@@ -195,13 +199,28 @@ class ConfigDrivenNuScenesConverter:
             radar_calib = self.nusc.get(
                 "calibrated_sensor", radar_data["calibrated_sensor_token"]
             )
-            radar_infos[radar] = {
+            entry = {
                 "filename": radar_data["filename"],
                 "calibrated_sensor": {
                     "translation": radar_calib["translation"],
                     "rotation": radar_calib["rotation"],
                 },
             }
+            if self.radar_num_sweeps > 1:
+                radar_pose = self.nusc.get(
+                    "ego_pose", radar_data["ego_pose_token"]
+                )
+                entry["pose"] = {
+                    "translation": radar_pose["translation"],
+                    "rotation": radar_pose["rotation"],
+                }
+                entry["sweeps"] = extract_sweeps(
+                    self.nusc,
+                    sample["data"][radar],
+                    self.radar_num_sweeps - 1,
+                    path_key="path",
+                )
+            radar_infos[radar] = entry
 
         ann = self._get_annotations(sample, lidar_pose, lidar_calib)
 
@@ -494,9 +513,15 @@ def transform_points_between_sensors(
     return out
 
 
-def extract_sweeps(nusc, sample_data_token: str, num_sweeps: int) -> List[Dict]:
-    """Walk sample_data['prev'] collecting up to num_sweeps prior LiDAR
-    sweeps: {'lidar_path', 'pose', 'calib', 'time_lag_s'} each. Requires the
+def extract_sweeps(
+    nusc,
+    sample_data_token: str,
+    num_sweeps: int,
+    path_key: str = "lidar_path",
+) -> List[Dict]:
+    """Walk sample_data['prev'] collecting up to num_sweeps prior sweeps of
+    ANY sensor: {path_key, 'pose', 'calib', 'time_lag_s'} each (path_key is
+    'lidar_path' for LiDAR back-compat, 'path' for radar). Requires the
     nuscenes devkit (converter-time only)."""
     import os
 
@@ -508,7 +533,7 @@ def extract_sweeps(nusc, sample_data_token: str, num_sweeps: int) -> List[Dict]:
         sw = nusc.get("sample_data", token)
         sweeps.append(
             {
-                "lidar_path": os.path.join(nusc.dataroot, sw["filename"]),
+                path_key: os.path.join(nusc.dataroot, sw["filename"]),
                 "pose": {
                     k: nusc.get("ego_pose", sw["ego_pose_token"])[k]
                     for k in ("rotation", "translation")

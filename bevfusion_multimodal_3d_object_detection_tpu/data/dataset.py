@@ -47,16 +47,14 @@ def _load_image(path: Path, h: int, w: int) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def read_radar_pcd(path: Path, max_points: int) -> np.ndarray:
-    """Minimal nuScenes radar .pcd reader -> (max_points, 7) float32
-    [x, y, z, vx, vy, rcs, t(=0)]; zero-padded / truncated.
-
-    The reference never parses radar files (quirk Q4); this is the corrected
-    path. Returns zeros on any parse failure.
-    """
-    out = np.zeros((max_points, 7), np.float32)
+def parse_radar_pcd(path: Path) -> np.ndarray:
+    """Minimal nuScenes radar .pcd parser -> (N, 7) float32
+    [x, y, z, vx, vy, rcs, t(=0)] (unpadded). Returns (0, 7) on any parse
+    failure. The reference never parses radar files (quirk Q4); this is the
+    corrected path."""
+    empty = np.zeros((0, 7), np.float32)
     try:
-        raw = path.read_bytes()
+        raw = Path(path).read_bytes()
         header_end = raw.index(b"DATA binary\n") + len(b"DATA binary\n")
         header = raw[:header_end].decode("ascii", "ignore").splitlines()
         fields: List[str] = []
@@ -73,7 +71,7 @@ def read_radar_pcd(path: Path, max_points: int) -> np.ndarray:
             elif line.startswith("POINTS"):
                 count = int(line.split()[1])
         if not fields or count == 0:
-            return out
+            return empty
         fmt_map = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1",
                    ("I", 2): "i2", ("I", 4): "i4", ("U", 1): "u1",
                    ("U", 2): "u2", ("U", 4): "u4"}
@@ -86,14 +84,22 @@ def read_radar_pcd(path: Path, max_points: int) -> np.ndarray:
         pts = np.frombuffer(
             raw[header_end : header_end + count * dtype.itemsize], dtype=dtype
         )
+        out = np.zeros((len(pts), 7), np.float32)
         wanted = ["x", "y", "z", "vx", "vy", "rcs"]
-        n = min(len(pts), max_points)
         for ci, name in enumerate(wanted):
             if name in pts.dtype.names:
-                out[:n, ci] = pts[name][:n].astype(np.float32)
+                out[:, ci] = pts[name].astype(np.float32)
         return out
     except Exception:
-        return out
+        return empty
+
+
+def read_radar_pcd(path: Path, max_points: int) -> np.ndarray:
+    """`parse_radar_pcd` zero-padded / truncated to (max_points, 7)."""
+    pts = parse_radar_pcd(path)[:max_points]
+    out = np.zeros((max_points, 7), np.float32)
+    out[: len(pts)] = pts
+    return out
 
 
 class NuScenesDataset:
@@ -122,6 +128,7 @@ class NuScenesDataset:
         use_native: bool = True,
         emit_uint8: bool = False,
         num_sweeps: int = 1,
+        radar_num_sweeps: int = 1,
     ):
         if config is not None:
             ds = DataSpec.from_config(config)
@@ -132,6 +139,7 @@ class NuScenesDataset:
             classes = ds.classes
             pc_range = ds.pc_range
             num_sweeps = ds.num_sweeps
+            radar_num_sweeps = ds.radar_num_sweeps
             compat = CompatFlags.from_config(config)
 
         self.data_root = Path(data_root)
@@ -150,6 +158,7 @@ class NuScenesDataset:
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.num_sweeps = num_sweeps
+        self.radar_num_sweeps = radar_num_sweeps
         self.bev_h, self.bev_w = bev_h, bev_w
         self.depth_bins = depth_bins
         self.depth_min, self.depth_max = depth_min, depth_max
@@ -275,10 +284,49 @@ class NuScenesDataset:
                 out.append(
                     rng.randn(self.max_radar_points, 7).astype(np.float32)
                 )
+                continue
+            entry = info["radars"][radar]
+            if self.radar_num_sweeps > 1 and entry.get("sweeps"):
+                out.append(self._load_radar_multi_sweep(entry, rng))
             else:
-                path = self.data_root / info["radars"][radar]["filename"]
+                path = self.data_root / entry["filename"]
                 out.append(read_radar_pcd(path, self.max_radar_points))
         return np.stack(out)  # (5, Nr, 7)
+
+    def _load_radar_multi_sweep(self, entry, rng) -> np.ndarray:
+        """Aggregate one radar's key frame + prior sweeps into the key radar
+        frame: positions are ego-motion compensated, (vx, vy) rotated into the
+        key frame, and the t channel carries the sweep's time lag (0 for the
+        key frame). Requires pickles converted with
+        dataset.radar_num_sweeps > 1 (per-entry 'pose'/'sweeps' keys)."""
+        from .converter import (
+            sensor_to_global,
+            transform_points_between_sensors,
+        )
+
+        key_pose, key_calib = entry["pose"], entry["calibrated_sensor"]
+        clouds = [parse_radar_pcd(self.data_root / entry["filename"])]
+        r_key, _ = sensor_to_global(key_pose, key_calib)
+        for sweep in entry["sweeps"][: self.radar_num_sweeps - 1]:
+            pts = parse_radar_pcd(Path(sweep["path"]))
+            if not len(pts):
+                continue
+            pts = transform_points_between_sensors(
+                pts, sweep["pose"], sweep["calib"], key_pose, key_calib
+            )
+            # rotate the radial velocity vector (vx, vy, 0) into the key
+            # frame: v_key = R_key^T R_sweep v  (pure rotation — velocities
+            # don't translate)
+            r_sweep, _ = sensor_to_global(sweep["pose"], sweep["calib"])
+            r_rel = r_key.T @ r_sweep
+            v = np.concatenate(
+                [pts[:, 3:5], np.zeros((len(pts), 1), np.float32)], axis=1
+            )
+            pts[:, 3:5] = (v @ r_rel.T)[:, :2].astype(np.float32)
+            pts[:, 6] = float(sweep.get("time_lag_s", 0.0))
+            clouds.append(pts)
+        pts = np.concatenate([c for c in clouds if len(c)] or clouds, axis=0)
+        return self._pad_or_subsample(pts, self.max_radar_points, rng)
 
     def _pad_or_subsample(self, pts: np.ndarray, n: int, rng) -> np.ndarray:
         if pts.shape[0] >= n:

@@ -1,42 +1,44 @@
 """Pallas BEVPool v2: sorted-chunk camera-to-BEV pooling with a VMEM
 accumulator (the kernel-level alternative to ops/bev_splat.bev_scatter_add's
 XLA scatter-add; north star "camera-to-BEV splat/pooling as a segmented
-scatter-add", VERDICT r1 item 8).
+scatter-add").
 
 Design (BEVPoolv2-style, arxiv 2211.17111: move ALL index math to
 calibration time):
 
 1. `precompute_bev_chunks` (host, once per calibration): sort frustum points
-   by BEV cell id and greedily cut the sorted stream into fixed-size chunks
-   of <= T points whose cell ids span < W cells. Output is static-shaped:
-   gather indices (n_chunks, T) into the unsorted lifted features (pad
-   entries point at a zero row), window-local cell ids (n_chunks, T), and a
-   base cell per chunk (n_chunks,).
+   by BEV cell id and cut the sorted stream into fixed-size chunks of <= T
+   points that each live inside ONE W-cell window (window w = cell block
+   w*W..(w+1)*W). Every window gets at least one (possibly empty) chunk, in
+   window order. Output is static-shaped: gather indices (n_chunks, T) into
+   the unsorted lifted features (pad entries point at a zero row),
+   window-local cell ids (n_chunks, T), and a window-block index per chunk
+   (n_chunks,).
 
-2. `bev_pool_sorted` (device): one Pallas pass over chunks. Each grid step
-   loads its (T, C) feature chunk into VMEM and reduces it to a (W, C)
-   window with ONE one-hot matmul on the MXU:
+2. `bev_pool_sorted` (device): one Pallas pass over chunks. The OUTPUT block
+   for grid step i is selected by the scalar-prefetched plan
+   (`block_idx[i]` -> rows [bW, (b+1)W) of the (num_cells_pad, C) result),
+   so the accumulator block stays resident in VMEM across the consecutive
+   steps that visit it and is written back to HBM exactly once per window —
+   no dynamic VMEM slicing inside the kernel (TPU-mosaic requirement). Each
+   step reduces its (T, C) feature chunk to the (W, C) window with ONE
+   one-hot matmul on the MXU:
 
        local[w, c] = sum_t [local_id[t] == w] * feat[t, c]
 
-   then accumulates `local` into the persistent (num_cells, C) VMEM output
-   at the chunk's base offset. The scatter never touches HBM element-wise —
-   the accumulator lives in VMEM across all grid steps and is written back
-   once.
-
-Why a matmul: TPU has no fast random-access scatter; an (T, W) comparison
-matrix contracted on the MXU turns W-window scatter into dense compute
-(2*T*W*C flops per chunk ~ 33 MFLOP at T=W=C=256 — microseconds on a v5e),
+Why a matmul: TPU has no fast random-access scatter; a (T, W) comparison
+matrix contracted on the MXU turns the W-window scatter into dense compute
+(2*T*W*C flops ~ 33 MFLOP per chunk at T=W=C=256 — microseconds on a v5e),
 while the windowing keeps the inflation factor at W instead of num_cells.
 
 Equality vs the XLA path is tested in tests/test_bev_pool_pallas.py;
-bench_bev_pool.py measures both on real hardware.
+bench_kernels.py measures both on real hardware.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -62,21 +64,23 @@ def precompute_bev_chunks(
         (from ops/bev_splat.precompute_frustum_cells, flattened).
       num_cells: bev_h * bev_w.
       chunk_points: T, max points per chunk (multiple of 128).
-      window: W, max cell-id span per chunk (multiple of 128).
+      window: W, output block height (multiple of 8).
 
     Returns dict with STATIC shapes (derived from P/num_cells only):
       point_idx: (n_chunks, T) int32 gather index into the UNSORTED (P, C)
-        features; P (== one-past-end) marks padding and must gather a zero row.
+        features; P (== one-past-end) marks padding and must gather a zero
+        row.
       local_ids: (n_chunks, T) int32 in [0, W) (or -1 for padding).
-      bases:     (n_chunks,) int32, base cell of each chunk's window,
-        clamped to [0, num_cells_pad - W].
-      num_cells_pad: () int — num_cells rounded up to a multiple of 8.
+      block_idx: (n_chunks,) int32 window-block index of each chunk,
+        NON-DECREASING, covering every block in [0, num_cells_pad / W).
+      num_cells_pad: () int — num_cells rounded up to a multiple of `window`.
     """
     p = len(cell_ids)
     t, w = chunk_points, window
-    num_cells_pad = max(_round_up(num_cells, 8), w)
-    # worst case: every T points forces a cut, plus one cut per W-span
-    n_chunks = (p + t - 1) // t + (num_cells + w - 1) // w + 1
+    num_cells_pad = _round_up(max(num_cells, w), w)
+    num_blocks = num_cells_pad // w
+    # worst case: one chunk per window + one extra cut per T points
+    n_chunks = num_blocks + (p + t - 1) // t
 
     valid = cell_ids >= 0
     order = np.argsort(cell_ids[valid], kind="stable")
@@ -85,48 +89,55 @@ def precompute_bev_chunks(
 
     point_idx = np.full((n_chunks, t), p, np.int32)
     local_ids = np.full((n_chunks, t), -1, np.int32)
-    bases = np.zeros((n_chunks,), np.int32)
+    block_idx = np.zeros((n_chunks,), np.int32)
+
+    # per-window point ranges in the sorted stream
+    starts = np.searchsorted(ids, np.arange(num_blocks) * w, side="left")
+    ends = np.searchsorted(ids, (np.arange(num_blocks) + 1) * w, side="left")
 
     ci = 0
-    i = 0
-    n = len(pts)
-    while i < n:
-        base = int(ids[i])
-        base = min(base, num_cells_pad - w)
-        # take up to t points whose id stays inside [base, base + w)
-        j = min(i + t, n)
-        j = i + int(np.searchsorted(ids[i:j], base + w, side="left"))
-        count = j - i
-        assert count > 0 and ci < n_chunks
-        point_idx[ci, :count] = pts[i:j]
-        local_ids[ci, :count] = ids[i:j] - base
-        bases[ci] = base
-        ci += 1
-        i = j
+    for b in range(num_blocks):
+        i, end = int(starts[b]), int(ends[b])
+        while True:  # at least one (possibly empty) chunk per window
+            j = min(i + t, end)
+            count = j - i
+            assert ci < n_chunks
+            point_idx[ci, :count] = pts[i:j]
+            local_ids[ci, :count] = ids[i:j] - b * w
+            block_idx[ci] = b
+            ci += 1
+            i = j
+            if i >= end:
+                break
+    # pad the tail with empty revisits of the LAST block (keeps block_idx
+    # non-decreasing; empty chunks contribute zero)
+    block_idx[ci:] = num_blocks - 1
     return {
         "point_idx": point_idx,
         "local_ids": local_ids,
-        "bases": bases,
+        "block_idx": block_idx,
         "num_cells_pad": num_cells_pad,
     }
 
 
 def _make_kernel(window: int):
-    def kernel(bases_ref, lids_ref, feats_ref, out_ref):
+    def kernel(blocks_ref, lids_ref, feats_ref, out_ref):
         # (T, W) one-hot of window-local ids contracted on the MXU; padding
         # ids (-1) match no window column and contribute zero
         step = pl.program_id(0)
+        prev = blocks_ref[jnp.maximum(step - 1, 0)]
 
-        @pl.when(step == 0)
+        @pl.when(jnp.logical_or(step == 0, prev != blocks_ref[step]))
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
         t = lids_ref.shape[1]
-        lids = lids_ref[0]
+        # lids stays whole-array in VMEM (a (1, T) block would violate the
+        # TPU (8, 128) tile rule); slice this chunk's row statically-sized
+        lids = lids_ref[pl.ds(step, 1), :].reshape(t, 1)
         feats = feats_ref[0]
         onehot = (
-            lids[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (t, window), 1)
+            lids == jax.lax.broadcasted_iota(jnp.int32, (t, window), 1)
         ).astype(feats.dtype)
         local = jax.lax.dot_general(
             onehot,
@@ -134,8 +145,7 @@ def _make_kernel(window: int):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        base = bases_ref[step]
-        out_ref[pl.ds(base, window), :] += local.astype(out_ref.dtype)
+        out_ref[...] += local.astype(out_ref.dtype)
 
     return kernel
 
@@ -148,7 +158,7 @@ def bev_pool_sorted(
     features: jnp.ndarray,
     point_idx: jnp.ndarray,
     local_ids: jnp.ndarray,
-    bases: jnp.ndarray,
+    block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
     window: int = 256,
@@ -158,7 +168,10 @@ def bev_pool_sorted(
     -> (num_cells, C) pooled BEV, f32 accumulation.
 
     `features` need NOT be pre-gathered: the chunk gather (by `point_idx`,
-    pad row = zeros) happens here, then the Pallas pass accumulates in VMEM.
+    pad row = zeros) happens here, then the Pallas pass accumulates each
+    window block in VMEM (block selected per grid step by the prefetched
+    `block_idx` — consecutive steps visiting the same block accumulate in
+    place; the block is flushed to HBM when the plan moves on).
     """
     p, c = features.shape
     n_chunks, t = point_idx.shape
@@ -171,11 +184,11 @@ def bev_pool_sorted(
     out = pl.pallas_call(
         _make_kernel(window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # bases
+            num_scalar_prefetch=1,  # block_idx
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, t), lambda i, b_ref: (i, 0),
+                    (n_chunks, t), lambda i, b_ref: (0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -184,13 +197,13 @@ def bev_pool_sorted(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (num_cells_pad, c), lambda i, b_ref: (0, 0),
+                (window, c), lambda i, b_ref: (b_ref[i], 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((num_cells_pad, c), jnp.float32),
         interpret=interpret,
-    )(bases, local_ids, gathered)
+    )(block_idx, local_ids, gathered)
     return out[:num_cells]
 
 
@@ -198,7 +211,7 @@ def bev_pool_rows(
     features: jnp.ndarray,
     point_idx: jnp.ndarray,
     local_ids: jnp.ndarray,
-    bases: jnp.ndarray,
+    block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
     window: int = 256,
@@ -213,4 +226,4 @@ def bev_pool_rows(
         window=window,
         interpret=interpret,
     )
-    return jax.vmap(fn)(features, point_idx, local_ids, bases)
+    return jax.vmap(fn)(features, point_idx, local_ids, block_idx)

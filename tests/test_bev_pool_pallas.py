@@ -46,7 +46,7 @@ def test_bev_pool_matches_xla_scatter(p, num_cells, c):
             jnp.asarray(feats),
             jnp.asarray(plan["point_idx"]),
             jnp.asarray(plan["local_ids"]),
-            jnp.asarray(plan["bases"]),
+            jnp.asarray(plan["block_idx"]),
             num_cells=num_cells,
             num_cells_pad=plan["num_cells_pad"],
             interpret=INTERPRET,
@@ -69,7 +69,7 @@ def test_bev_pool_dense_cell_reuse():
             jnp.asarray(feats),
             jnp.asarray(plan["point_idx"]),
             jnp.asarray(plan["local_ids"]),
-            jnp.asarray(plan["bases"]),
+            jnp.asarray(plan["block_idx"]),
             num_cells=num_cells,
             num_cells_pad=plan["num_cells_pad"],
             interpret=INTERPRET,
@@ -94,7 +94,7 @@ def test_bev_pool_rows_batched():
             jnp.asarray(np.stack(feats)),
             jnp.asarray(np.stack([pl["point_idx"] for pl in plans])),
             jnp.asarray(np.stack([pl["local_ids"] for pl in plans])),
-            jnp.asarray(np.stack([pl["bases"] for pl in plans])),
+            jnp.asarray(np.stack([pl["block_idx"] for pl in plans])),
             num_cells=num_cells,
             num_cells_pad=plans[0]["num_cells_pad"],
             interpret=INTERPRET,
