@@ -279,3 +279,88 @@ class InferenceServer:
                 }
             )
         return results
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib http.server; the network deployment surface)
+# ---------------------------------------------------------------------------
+
+
+def make_http_server(server: InferenceServer, host: str, port: int):
+    """A ThreadingHTTPServer wrapping an InferenceServer.
+
+    Endpoints:
+      GET  /healthz -> {"status": "ok"} once the jitted graph is warm.
+      GET  /stats   -> request/batch/latency counters + uptime.
+      POST /infer   -> one sample, two wire formats:
+          application/x-npz: np.savez({camera_imgs, lidar_points,
+              radar_points}) bytes — the efficient path;
+          application/json:  the same keys as nested lists.
+        Response: {"boxes": (K, 9) [x y z w l h yaw vx vy], "scores": (K,),
+        "labels": (K,)} as JSON lists.
+
+    Concurrent requests coalesce into device batches through the
+    InferenceServer dispatch thread (threaded HTTP handlers block on their
+    per-request futures).
+    """
+    import io
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    t_start = time.time()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: Dict):
+            body = _json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                st = dict(server.stats)
+                st["uptime_s"] = time.time() - t_start
+                if st["batches"]:
+                    st["mean_latency_s"] = (
+                        st["total_latency_s"] / st["requests"]
+                    )
+                self._reply(200, st)
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/infer":
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "application/json")
+                if "npz" in ctype:
+                    with np.load(io.BytesIO(raw)) as z:
+                        sample = {k: np.asarray(z[k], np.float32) for k in z}
+                else:
+                    sample = {
+                        k: np.asarray(v, np.float32)
+                        for k, v in _json.loads(raw).items()
+                    }
+                res = server.infer(sample, timeout=120.0)
+                self._reply(
+                    200,
+                    {
+                        "boxes": res["boxes"].tolist(),
+                        "scores": res["scores"].tolist(),
+                        "labels": res["labels"].tolist(),
+                    },
+                )
+            except Exception as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

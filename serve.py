@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Production HTTP serving CLI (the deployment surface the reference lacks).
+
+    python serve.py --model checkpoints/best_model.msgpack \
+        [--config configs/base.yaml] [--host 0.0.0.0] [--port 8080] \
+        [--batch-size 8] [--max-delay-ms 5] [--score-threshold 0.3] \
+        [--f32] [--no-fold-bn] [--pallas]
+
+Wraps `bevfusion_multimodal_3d_object_detection_tpu.serving.InferenceServer`
+(one jitted forward+decode graph, request coalescing into fixed-size device
+batches) behind a stdlib ThreadingHTTPServer:
+
+    GET  /healthz  liveness (after warmup compile)
+    GET  /stats    request/batch/latency counters
+    POST /infer    one sample as application/x-npz (np.savez of camera_imgs/
+                   lidar_points/radar_points) or application/json lists;
+                   returns {"boxes": (K, 9), "scores", "labels"}.
+
+With --model omitted the server runs from random init (smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--config", default="configs/base.yaml")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--f32", action="store_true",
+                    help="serve in float32 (default bfloat16)")
+    ap.add_argument("--no-fold-bn", action="store_true",
+                    help="keep BatchNorms in the serving graph")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas PointNet (wins at batch>=128)")
+    args = ap.parse_args()
+
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        model_path=args.model,
+        config_path=args.config,
+        batch_size=args.batch_size,
+        max_delay_ms=args.max_delay_ms,
+        score_threshold=args.score_threshold,
+        use_bf16=not args.f32,
+        fold_bn=not args.no_fold_bn,
+        use_pallas=args.pallas,
+    )
+    print(f"Compiling serving graph (batch={args.batch_size}) ...")
+    with server:  # warmup compile happens in start()
+        httpd = make_http_server(server, args.host, args.port)
+        print(f"Serving on http://{args.host}:{args.port} "
+              f"(POST /infer, GET /healthz, GET /stats)")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            print("Shutting down")
+        finally:
+            httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,77 @@ def test_server_error_propagates_to_future(tiny_config):
         fut = server.submit(bad)
         with pytest.raises(Exception):
             fut.result(timeout=120)
+
+
+def test_http_server_end_to_end(tiny_config):
+    """HTTP surface: /healthz, /stats, and /infer with both npz and JSON
+    bodies return well-formed responses through a real socket."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    with server:
+        httpd = make_http_server(server, "127.0.0.1", 0)  # ephemeral port
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                assert json.load(r)["status"] == "ok"
+
+            sample = _samples(1)[0]
+            buf = io.BytesIO()
+            np.savez(buf, **sample)
+            req = urllib.request.Request(
+                f"{base}/infer", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npz"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.load(r)
+            boxes = np.asarray(out["boxes"])
+            assert boxes.ndim == 2 and boxes.shape[1] == 9
+            assert len(out["scores"]) == len(out["labels"]) == len(boxes)
+
+            # JSON body path produces the same detections
+            req = urllib.request.Request(
+                f"{base}/infer",
+                data=json.dumps(
+                    {k: v.tolist() for k, v in sample.items()}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out2 = json.load(r)
+            np.testing.assert_allclose(
+                np.asarray(out2["scores"]), np.asarray(out["scores"]),
+                atol=1e-5,
+            )
+
+            with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+                stats = json.load(r)
+            assert stats["requests"] >= 2
+
+            # malformed body -> 400, not a crash
+            req = urllib.request.Request(
+                f"{base}/infer", data=b"not-a-sample",
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
