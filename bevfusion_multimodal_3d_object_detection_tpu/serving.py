@@ -110,8 +110,19 @@ class InferenceServer:
 
         spec = self.spec
 
+        model_dtype = dtype
+
         @jax.jit
         def _serve(variables, cams, lidar, radars):
+            if cams is not None and cams.dtype == jnp.uint8:
+                # uint8-on-the-wire (4x less host->device traffic than f32;
+                # same trick as the train pipeline): normalize + resize on
+                # device inside the serving graph
+                from .ops.preprocess import normalize_images
+
+                cams = normalize_images(
+                    cams, size=spec.camera.image_size
+                ).astype(model_dtype)
             preds = self.model.apply(
                 variables,
                 cams if spec.use_camera else None,
@@ -159,10 +170,41 @@ class InferenceServer:
     # -- API ---------------------------------------------------------------------
     def submit(self, sample: Dict[str, np.ndarray]) -> Future:
         """Enqueue one sample (dataset-format dict); resolves to a detections
-        dict {boxes (K, 9), scores (K,), labels (K,)} above score_threshold."""
+        dict {boxes (K, 9), scores (K,), labels (K,)} above score_threshold.
+
+        Shapes are validated here against the compiled serving graph (static
+        shapes — a mismatch raises immediately instead of triggering a
+        recompile or poisoning a coalesced batch)."""
+        self._validate(sample)
         fut: Future = Future()
         self._queue.put((sample, fut, time.perf_counter()))
         return fut
+
+    def _validate(self, sample: Dict[str, np.ndarray]) -> None:
+        s = self.spec
+        h, w = s.camera.image_size
+        if np.shape(sample["camera_imgs"]) != (6, h, w, 3):
+            raise ValueError(
+                f"camera_imgs must be (6, {h}, {w}, 3) "
+                f"(float normalized, or uint8 normalized on device), "
+                f"got {np.shape(sample['camera_imgs'])}"
+            )
+        want_lidar = (s.lidar.max_points, s.lidar.input_channels)
+        if np.shape(sample["lidar_points"]) != want_lidar:
+            raise ValueError(
+                f"lidar_points must be {want_lidar}, "
+                f"got {np.shape(sample['lidar_points'])}"
+            )
+        want_radar = (
+            s.radar.num_radars,
+            s.radar.max_points_per_sensor,
+            s.radar.input_channels,
+        )
+        if np.shape(sample["radar_points"]) != want_radar:
+            raise ValueError(
+                f"radar_points must be {want_radar}, "
+                f"got {np.shape(sample['radar_points'])}"
+            )
 
     def infer(self, sample: Dict[str, np.ndarray], timeout: float = 60.0):
         return self.submit(sample).result(timeout=timeout)
@@ -245,9 +287,15 @@ class InferenceServer:
 
         n = len(samples)
         pad = self.batch_size - n
-        padded = samples + [self._zero_sample()] * pad
-        cams = jnp.asarray(
-            np.stack([s["camera_imgs"] for s in padded]), self.model.dtype
+        # pad rows mirror the first sample's dtypes so a partial batch keeps
+        # the same jit signature (uint8 wire stays uint8)
+        pad_sample = {k: np.zeros_like(v) for k, v in samples[0].items()}
+        padded = samples + [pad_sample] * pad
+        cam_stack = np.stack([s["camera_imgs"] for s in padded])
+        cams = (
+            jnp.asarray(cam_stack)
+            if cam_stack.dtype == np.uint8
+            else jnp.asarray(cam_stack, self.model.dtype)
         )
         lidar = jnp.asarray(
             np.stack([s["lidar_points"] for s in padded]), self.model.dtype
@@ -345,7 +393,16 @@ def make_http_server(server: InferenceServer, host: str, port: int):
                 ctype = self.headers.get("Content-Type", "application/json")
                 if "npz" in ctype:
                     with np.load(io.BytesIO(raw)) as z:
-                        sample = {k: np.asarray(z[k], np.float32) for k in z}
+                        # uint8 camera arrays stay uint8 (the low-traffic
+                        # wire format; normalized on device)
+                        sample = {
+                            k: (
+                                np.asarray(z[k])
+                                if z[k].dtype == np.uint8
+                                else np.asarray(z[k], np.float32)
+                            )
+                            for k in z
+                        }
                 else:
                     sample = {
                         k: np.asarray(v, np.float32)

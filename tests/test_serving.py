@@ -99,9 +99,19 @@ def test_server_error_propagates_to_future(tiny_config):
     bad = _samples(1)[0]
     bad["camera_imgs"] = bad["camera_imgs"][:, :8]  # wrong shape
     with server:
-        fut = server.submit(bad)
-        with pytest.raises(Exception):
-            fut.result(timeout=120)
+        # shape mismatch raises at submit (static-shape serving contract)
+        with pytest.raises(ValueError):
+            server.submit(bad)
+        # a failure inside the serving graph still propagates to the future
+        nan_sample = _samples(1)[0]
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            server, "_serve", side_effect=RuntimeError("device error")
+        ):
+            fut = server.submit(nan_sample)
+            with pytest.raises(RuntimeError):
+                fut.result(timeout=120)
 
 
 def test_http_server_end_to_end(tiny_config):
@@ -176,3 +186,37 @@ def test_http_server_end_to_end(tiny_config):
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+def test_uint8_wire_matches_float_path(tiny_config):
+    """uint8 camera images normalized on device produce the same detections
+    as host-normalized float input (the 4x-less-traffic serving wire)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    rng = np.random.RandomState(5)
+    u8 = rng.randint(0, 255, (6, 32, 64, 3), np.uint8)
+    base = _samples(1)[0]
+    sample_u8 = dict(base, camera_imgs=u8)
+    sample_f = dict(
+        base,
+        camera_imgs=(
+            (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        ).astype(np.float32),
+    )
+    with server:
+        out_u8 = server.infer(sample_u8, timeout=180)
+        out_f = server.infer(sample_f, timeout=180)
+    np.testing.assert_allclose(
+        out_u8["scores"], out_f["scores"], atol=1e-4
+    )
+    np.testing.assert_allclose(out_u8["boxes"], out_f["boxes"], atol=1e-3)
