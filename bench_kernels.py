@@ -175,6 +175,82 @@ def bench_foldbn(results):
     print(f"# camera_trunk_folded_b32: {dt * 1e3:.2f} ms")
 
 
+def bench_train(results):
+    """Full jitted train step (fwd + on-device targets + loss + grads +
+    AdamW + clip) at production shapes, device-resident batch, b=8,
+    f32 vs mixed precision (bf16 compute / f32 params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        TrainSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    cfg = load_config("configs/base.yaml")
+    spec = DetectorSpec.from_config(cfg)
+    h, w = spec.camera.image_size
+    bs, max_objects = 8, 500
+    rs = np.random.RandomState(0)
+    boxes = np.zeros((bs, max_objects, 7), np.float32)
+    labels = np.full((bs, max_objects), -1, np.int64)
+    boxes[:, :10, 0:2] = rs.uniform(-45, 45, (bs, 10, 2))
+    boxes[:, :10, 3:6] = rs.uniform(1, 5, (bs, 10, 3))
+    labels[:, :10] = rs.randint(0, 10, (bs, 10))
+    batch = {
+        "camera_imgs": rs.randn(bs, 6, h, w, 3).astype(np.float32),
+        "lidar_points": rs.randn(
+            bs, spec.lidar.max_points, 4
+        ).astype(np.float32),
+        "radar_points": rs.randn(
+            bs, spec.radar.num_radars, spec.radar.max_points_per_sensor, 7
+        ).astype(np.float32),
+        "gt_boxes": boxes,
+        "gt_labels": labels,
+        "gt_velocities": np.zeros((bs, max_objects, 2), np.float32),
+    }
+
+    for mixed in (False, True):
+        # mixed precision = bf16 compute dtype with f32 params, exactly as
+        # train_detect.py wires train.mixed_precision
+        trainer = Trainer(
+            MultiModal3DDetector(
+                spec=spec,
+                dtype=jnp.bfloat16 if mixed else jnp.float32,
+            ),
+            TrainSpec(batch_size=bs, mixed_precision=mixed),
+            CompatFlags(),
+        )
+        trainer.init_state(batch)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = trainer.state
+
+        def step(state):
+            state, losses = trainer.train_step(state, dev, trainer.rng)
+            return state, losses
+
+        # warmup (compile) + timed loop; sync via a small loss fetch
+        for _ in range(2):
+            state, losses = step(state)
+            _sync(losses["total_loss"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            state, losses = step(state)
+        _sync(losses["total_loss"])
+        dt = (time.perf_counter() - t0) / iters
+        key = f"train_{'mixed' if mixed else 'f32'}_b{bs}"
+        results[key] = dt * 1e3
+        print(f"# {key}: {dt * 1e3:.1f} ms ({bs / dt:.1f} samples/s)")
+        del trainer, state
+
+
 def main():
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
@@ -192,6 +268,8 @@ def main():
         bench_bevpool(results)
     if "foldbn" in which or "trunk" in which:
         bench_foldbn(results)
+    if "train" in which:
+        bench_train(results)
     print(json.dumps(results, indent=2))
 
 
