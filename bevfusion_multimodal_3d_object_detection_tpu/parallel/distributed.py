@@ -20,8 +20,9 @@ module is the TPU-native resurrection of that dead block:
   reads only its slice of the epoch.
 
 Numerics contract: N processes at per-host batch B reproduce single-process
-execution at global batch N*B exactly (same param updates), because jit
-partitions the same global computation either way — verified by
+execution at global batch N*B (same global computation, so all processes
+agree bit-exactly with each other; vs the single-device run the partitioned
+reductions reassociate floats, ~1e-4 relative on f32 losses) — verified by
 tests/test_multihost.py with two real CPU processes.
 """
 

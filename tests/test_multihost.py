@@ -87,11 +87,13 @@ def test_two_process_train_step_matches_single_process(tiny_spec):
         assert m, out[-4000:]
         leaves_seen.append(float(m.group(1)))
 
-    # both processes agree with each other and with single-process numerics
+    # the two processes agree with each other bit-exactly (same global
+    # computation); the single-process reference matches up to float
+    # reduction reassociation from the sharded psum (~1e-4 rel on f32)
     assert losses_seen[0] == pytest.approx(losses_seen[1], abs=1e-6)
-    assert want_loss == pytest.approx(losses_seen[0], rel=2e-5)
+    assert want_loss == pytest.approx(losses_seen[0], rel=2e-4)
     assert leaves_seen[0] == pytest.approx(leaves_seen[1], abs=1e-6)
-    assert want_leaf == pytest.approx(leaves_seen[0], rel=2e-4)
+    assert want_leaf == pytest.approx(leaves_seen[0], rel=5e-4)
 
 
 def test_dataloader_process_sharding_partitions_epoch():
