@@ -249,40 +249,59 @@ class InferenceServer:
             ),
         }
 
-    def _dispatch(self) -> None:
-        while not self._stop.is_set():
+    def _collect(self, poll_s: float = 0.05) -> Optional[list]:
+        """Block for the first request, then coalesce up to batch_size within
+        max_delay. Returns [(sample, future, t_enq), ...] or None on idle."""
+        try:
+            first = self._queue.get(timeout=poll_s)
+        except queue.Empty:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
             try:
-                first = self._queue.get(timeout=0.05)
+                batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
+                break
+        return batch
+
+    def _dispatch(self) -> None:
+        """Two-stage software pipeline: the device executes batch N+1 while
+        this thread fetches batch N's (small) results to host — jax dispatch
+        is async, so `_launch` returns as soon as the work is enqueued and
+        the transfer in `_finish` overlaps the next batch's compute."""
+        pending = None  # (device_out, futures, n, t_enq)
+        while not self._stop.is_set():
+            # short poll while a batch is in flight so its results flush
+            # promptly under light load
+            batch = self._collect(poll_s=0.002 if pending else 0.05)
+            if batch is None:
+                if pending is not None:
+                    self._finish(*pending)
+                    pending = None
                 continue
-            batch = [first]
-            deadline = time.perf_counter() + self.max_delay_s
-            while len(batch) < self.batch_size:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(self._queue.get(timeout=remaining))
-                except queue.Empty:
-                    break
             samples = [b[0] for b in batch]
             futures = [b[1] for b in batch]
             t_enq = min(b[2] for b in batch)
             try:
-                results = self._run_batch(samples)
-                for fut, res in zip(futures, results):
-                    fut.set_result(res)
+                out = self._launch(samples)
             except Exception as e:  # surface server errors to callers
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self.stats["requests"] += len(batch)
-            self.stats["batches"] += 1
-            self.stats["padded_rows"] += self.batch_size - len(batch)
-            self.stats["total_latency_s"] += time.perf_counter() - t_enq
+            if pending is not None:
+                self._finish(*pending)
+            pending = (out, futures, len(batch), t_enq)
+        if pending is not None:
+            self._finish(*pending)
 
-    def _run_batch(self, samples: List[Dict]) -> List[Dict]:
+    def _launch(self, samples: List[Dict]):
+        """Stage + enqueue one device batch; returns device arrays without
+        synchronizing."""
         import jax.numpy as jnp
 
         n = len(samples)
@@ -303,7 +322,25 @@ class InferenceServer:
         radars = jnp.asarray(
             np.stack([s["radar_points"] for s in padded]), self.model.dtype
         )
-        out = self._serve(self.variables, cams, lidar, radars)
+        return self._serve(self.variables, cams, lidar, radars)
+
+    def _finish(self, out, futures, n: int, t_enq: float) -> None:
+        """Fetch one launched batch's results and resolve its futures."""
+        try:
+            results = self._fetch(out, n)
+        except Exception as e:
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        for fut, res in zip(futures, results):
+            fut.set_result(res)
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["padded_rows"] += self.batch_size - n
+        self.stats["total_latency_s"] += time.perf_counter() - t_enq
+
+    def _fetch(self, out, n: int) -> List[Dict]:
         # ONE small host transfer for the whole batch; boxes ship as
         # (K, 9) = [x y z w l h yaw vx vy] (decode returns 7-col boxes with
         # velocities separate)
@@ -327,6 +364,10 @@ class InferenceServer:
                 }
             )
         return results
+
+    def _run_batch(self, samples: List[Dict]) -> List[Dict]:
+        """Synchronous convenience path (warmup, tests): launch + fetch."""
+        return self._fetch(self._launch(samples), len(samples))
 
 
 # ---------------------------------------------------------------------------
