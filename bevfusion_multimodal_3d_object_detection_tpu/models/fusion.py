@@ -71,7 +71,7 @@ class GeometricCameraBEV(nn.Module):
 
     @nn.compact
     def __call__(self, camera_features, camera_cells, train: bool = False):
-        from ..ops.bev_splat import bev_scatter_add
+        from ..ops.bev_splat import bev_scatter_add, lift_splat_matmul_rows
 
         s = self.spec
         b, n, fh, fw, c = camera_features.shape
@@ -83,12 +83,20 @@ class GeometricCameraBEV(nn.Module):
         feat = nn.Conv(
             s.bev_channels, (1, 1), dtype=self.dtype, name="feat_proj"
         )(flat)
-        probs = jax.nn.softmax(depth_logits, axis=-1)
-        lifted = jnp.einsum(
-            "xhwc,xhwd->xdhwc", feat, probs
-        ).reshape(b * n, d * fh * fw, s.bev_channels)
         cells = camera_cells.reshape(b * n, d * fh * fw)
-        bev = bev_scatter_add(lifted, cells, s.bev_h * s.bev_w)
+        if s.splat_mode == "matmul":
+            # fast formulation: scatter scalar depth probs into per-pixel
+            # cell weights, contract features on the MXU (no lifted tensor
+            # in HBM; 1.55x end-to-end measured, ops/bev_splat)
+            bev = lift_splat_matmul_rows(
+                feat, depth_logits, cells, s.bev_h * s.bev_w
+            )
+        else:
+            probs = jax.nn.softmax(depth_logits, axis=-1)
+            lifted = jnp.einsum(
+                "xhwc,xhwd->xdhwc", feat, probs
+            ).reshape(b * n, d * fh * fw, s.bev_channels)
+            bev = bev_scatter_add(lifted, cells, s.bev_h * s.bev_w)
         bev = bev.reshape(b, n, s.bev_h, s.bev_w, s.bev_channels).sum(axis=1)
         return _conv_bn_relu(
             bev, s.bev_channels, 3, "splat_refine", self.dtype, train

@@ -123,3 +123,79 @@ def lift_splat(
     ids = jnp.broadcast_to(cell_ids.reshape(1, -1), (b, d * fh * fw))
     # -1 ids fall outside [0, num_cells) and are dropped by the scatter
     return bev_scatter_add(lifted, ids, num_cells)
+
+
+@partial(jax.jit, static_argnames=("num_cells",))
+def lift_splat_matmul(
+    features: jnp.ndarray,
+    depth_logits: jnp.ndarray,
+    cell_ids: jnp.ndarray,
+    num_cells: int,
+) -> jnp.ndarray:
+    """`lift_splat` with the scatter/matmul order swapped — the fast TPU
+    formulation (1.55x end-to-end on the tri-modal geometric config,
+    measured in ARCHITECTURE.md).
+
+    The naive order materializes the lifted (B, D*H'*W', C) tensor in HBM
+    (~170 MB/sample at production shapes) and scatter-adds C-vector rows.
+    But the splat factors: every frustum point of pixel p carries the SAME
+    feature row scaled by its depth prob, so
+
+        bev[cell, c] = sum_hw feat[hw, c] * W[hw, cell],
+        W[hw, cell]  = sum_d prob[hw, d] * [cells[d, hw] == cell]
+
+    W is built by scattering SCALAR probs (C times less scatter traffic)
+    and the heavy contraction becomes one dense (HW, cells)^T x (HW, C)
+    matmul on the MXU. Bitwise it differs from `lift_splat` only in float
+    summation order.
+    """
+    b, fh, fw, c = features.shape
+    d = depth_logits.shape[-1]
+    hw = fh * fw
+    depth_probs = jax.nn.softmax(depth_logits, axis=-1)  # (B, H', W', D)
+    # broadcast the shared (D, H', W') plan to per-row ids
+    ids = jnp.broadcast_to(
+        cell_ids.reshape(1, d * hw), (b, d * hw)
+    )
+    w = _splat_weights(depth_probs, ids, num_cells)
+    flat = features.reshape(b, hw, c)
+    return jnp.einsum("bhk,bhc->bkc", w, flat)
+
+
+def _splat_weights(
+    depth_probs: jnp.ndarray, cell_ids: jnp.ndarray, num_cells: int
+) -> jnp.ndarray:
+    """(B, H', W', D) probs + (B, D*H'*W') cells -> (B, HW, num_cells)
+    per-pixel cell-weight matrices (scalar scatter; -1 ids dropped)."""
+    b, fh, fw, d = depth_probs.shape
+    hw = fh * fw
+    ids = cell_ids.reshape(b, d, hw)
+    ids = jnp.where(ids < 0, num_cells, ids)
+    hw_idx = jnp.broadcast_to(jnp.arange(hw)[None, :], (d, hw)).reshape(-1)
+
+    def weights_one(probs, ids_row):  # (H',W',D), (D, HW)
+        w = jnp.zeros((hw, num_cells + 1), probs.dtype)
+        p = probs.reshape(hw, d).T  # (D, HW)
+        w = w.at[hw_idx, ids_row.reshape(-1)].add(
+            p.reshape(-1), mode="drop"
+        )
+        return w[:, :num_cells]
+
+    return jax.vmap(weights_one)(depth_probs, ids)
+
+
+@partial(jax.jit, static_argnames=("num_cells",))
+def lift_splat_matmul_rows(
+    features: jnp.ndarray,
+    depth_logits: jnp.ndarray,
+    cell_ids: jnp.ndarray,
+    num_cells: int,
+) -> jnp.ndarray:
+    """Per-row-plan variant of `lift_splat_matmul` (each row has its own
+    calibration): features (X, H', W', C), logits (X, H', W', D),
+    cell_ids (X, D*H'*W') -> (X, num_cells, C)."""
+    x, fh, fw, c = features.shape
+    depth_probs = jax.nn.softmax(depth_logits, axis=-1)
+    w = _splat_weights(depth_probs, cell_ids, num_cells)
+    flat = features.reshape(x, fh * fw, c)
+    return jnp.einsum("bhk,bhc->bkc", w, flat)

@@ -1,6 +1,7 @@
 """Geometric camera-to-BEV splat ops."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
@@ -127,3 +128,56 @@ def test_geometric_bev_through_detector_and_train_step():
     assert np.isfinite(float(losses["total_loss"]))
     decoded = trainer.eval_step(state, batch)
     assert np.asarray(decoded["boxes"]).shape[-1] == 7
+
+
+def test_lift_splat_matmul_matches_scatter():
+    """The scalar-prob-scatter + MXU-matmul formulation equals the naive
+    lifted-tensor scatter-add up to float summation order."""
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        lift_splat,
+        lift_splat_matmul,
+        lift_splat_matmul_rows,
+    )
+
+    rng = np.random.RandomState(7)
+    b, fh, fw, c, d, num_cells = 2, 4, 6, 16, 5, 100
+    feats = rng.randn(b, fh, fw, c).astype(np.float32)
+    logits = rng.randn(b, fh, fw, d).astype(np.float32)
+    cells = rng.randint(-1, num_cells, (d, fh, fw)).astype(np.int32)
+
+    want = np.asarray(
+        lift_splat(jnp.asarray(feats), jnp.asarray(logits),
+                   jnp.asarray(cells), num_cells)
+    )
+    got = np.asarray(
+        lift_splat_matmul(jnp.asarray(feats), jnp.asarray(logits),
+                          jnp.asarray(cells), num_cells)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # per-row-plan variant with differing calibrations per row
+    cells_rows = rng.randint(
+        -1, num_cells, (b, d * fh * fw)
+    ).astype(np.int32)
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        bev_scatter_add,
+    )
+
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    lifted = np.einsum("xhwc,xhwd->xdhwc", feats, probs).reshape(
+        b, d * fh * fw, c
+    )
+    want_rows = np.asarray(
+        bev_scatter_add(
+            jnp.asarray(lifted), jnp.asarray(cells_rows), num_cells
+        )
+    )
+    got_rows = np.asarray(
+        lift_splat_matmul_rows(
+            jnp.asarray(feats), jnp.asarray(logits),
+            jnp.asarray(cells_rows), num_cells,
+        )
+    )
+    np.testing.assert_allclose(got_rows, want_rows, atol=1e-5, rtol=1e-5)
