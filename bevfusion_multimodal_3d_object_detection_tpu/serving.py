@@ -160,6 +160,14 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        # fail any requests still queued so no client future hangs forever
+        while True:
+            try:
+                _, fut, _ = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("InferenceServer stopped"))
 
     def __enter__(self):
         return self.start()

@@ -220,3 +220,21 @@ def test_uint8_wire_matches_float_path(tiny_config):
         out_u8["scores"], out_f["scores"], atol=1e-4
     )
     np.testing.assert_allclose(out_u8["boxes"], out_f["boxes"], atol=1e-3)
+
+
+def test_stop_fails_queued_futures(tiny_config):
+    """Requests still queued when the server stops resolve with an error
+    instead of hanging forever."""
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False,
+    )
+    # never started: submissions sit in the queue
+    fut = server.submit(_samples(1)[0])
+    server.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)
