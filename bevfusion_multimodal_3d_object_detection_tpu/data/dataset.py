@@ -548,8 +548,11 @@ class DataLoader:
     def _local_count(self) -> int:
         n = len(self.dataset)
         if self.process_count > 1:
-            # strided slice: process p gets indices p, p+P, p+2P, ...
-            n = (n - self.process_index + self.process_count - 1) // self.process_count
+            # strided slice truncated to the MINIMUM per-process count so
+            # every host runs the same number of batches — unequal counts
+            # would deadlock the collectives at epoch end (up to P-1 tail
+            # samples are dropped per epoch)
+            n = n // self.process_count
         return n
 
     def __len__(self) -> int:
@@ -563,7 +566,10 @@ class DataLoader:
         if self.shuffle:
             self.rng.shuffle(idx)
         if self.process_count > 1:
+            # equal-length shards (see _local_count): every process takes
+            # the same number of strided samples
             idx = idx[self.process_index :: self.process_count]
+            idx = idx[: self._local_count()]
         batches = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)

@@ -82,12 +82,12 @@ def maybe_initialize(
 
 def global_mesh(n_view: int = 1) -> Mesh:
     """('data', 'view') mesh over ALL global devices (every process sees the
-    same mesh; devices are ordered process-major so each host's data shard
-    lands on its own local chips)."""
-    devices = jax.devices()
-    n_data = len(devices) // n_view
-    devs = np.asarray(devices[: n_data * n_view]).reshape(n_data, n_view)
-    return Mesh(devs, axis_names=("data", "view"))
+    same mesh; jax.devices() orders process-major so each host's data shard
+    lands on its own local chips). Delegates to mesh.make_mesh so the
+    device-ordering logic lives in one place."""
+    from .mesh import make_mesh
+
+    return make_mesh(n_view=n_view)
 
 
 def form_global_batch(mesh: Mesh, host_batch: Dict) -> Dict:

@@ -68,35 +68,20 @@ class InferenceServer:
             fold_bn=fold_bn,
         )
 
-        # restore through the unfolded twin, then fold for serving
-        restore_model = (
-            MultiModal3DDetector(
-                spec=self.spec,
+        if variables is None:
+            # shared restore flow (utils/restore.py): restore into the
+            # unfolded tree (native ckpt, reference .pth, or pretrained
+            # camera init), then fold for serving if requested
+            from .utils.restore import load_serving_variables
+
+            variables = load_serving_variables(
+                self.spec,
+                model_path=model_path,
                 dtype=dtype,
                 mask_padding=not self.compat.unmasked_point_padding,
+                fold_bn=fold_bn,
             )
-            if fold_bn
-            else self.model
-        )
-        if variables is None:
-            rng = jax.random.PRNGKey(0)
-            dummy = self._zero_inputs(1)
-            variables = restore_model.init(
-                {"params": rng}, *dummy, train=False
-            )
-            if model_path is not None:
-                from .train.checkpoint import load_checkpoint
-
-                template = {
-                    "params": variables["params"],
-                    "batch_stats": variables.get("batch_stats", {}),
-                }
-                restored = load_checkpoint(model_path, template)
-                variables = {
-                    "params": restored["params"],
-                    "batch_stats": restored["batch_stats"],
-                }
-        if fold_bn:
+        elif fold_bn:
             from .utils.fold_bn import fold_camera_variables
 
             variables = fold_camera_variables(variables)
@@ -141,6 +126,9 @@ class InferenceServer:
         self._serve = _serve
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit()'s stopped-check+put against stop()'s drain so
+        # a racing submit cannot land in a dead queue
+        self._submit_lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self.stats = {
             "requests": 0, "batches": 0, "padded_rows": 0,
@@ -150,7 +138,13 @@ class InferenceServer:
     # -- lifecycle -------------------------------------------------------------
     def start(self, warmup: bool = True) -> "InferenceServer":
         if warmup:
+            # warm BOTH wire signatures (float and uint8 cameras compile to
+            # different jit variants; the first uint8 request must not eat a
+            # cold compile behind a green /healthz)
             self._run_batch([self._zero_sample()] * self.batch_size)
+            u8 = self._zero_sample()
+            u8["camera_imgs"] = u8["camera_imgs"].astype(np.uint8)
+            self._run_batch([u8] * self.batch_size)
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
         return self
@@ -161,13 +155,16 @@ class InferenceServer:
             self._thread.join(timeout=30)
             self._thread = None
         # fail any requests still queued so no client future hangs forever
-        while True:
-            try:
-                _, fut, _ = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not fut.done():
-                fut.set_exception(RuntimeError("InferenceServer stopped"))
+        # (the lock fences concurrent submit()s: they either landed before
+        # this drain or raise)
+        with self._submit_lock:
+            while True:
+                try:
+                    _, fut, _ = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(RuntimeError("InferenceServer stopped"))
 
     def __enter__(self):
         return self.start()
@@ -185,7 +182,10 @@ class InferenceServer:
         recompile or poisoning a coalesced batch)."""
         self._validate(sample)
         fut: Future = Future()
-        self._queue.put((sample, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("InferenceServer stopped")
+            self._queue.put((sample, fut, time.perf_counter()))
         return fut
 
     def _validate(self, sample: Dict[str, np.ndarray]) -> None:
@@ -281,7 +281,7 @@ class InferenceServer:
         this thread fetches batch N's (small) results to host — jax dispatch
         is async, so `_launch` returns as soon as the work is enqueued and
         the transfer in `_finish` overlaps the next batch's compute."""
-        pending = None  # (device_out, futures, n, t_enq)
+        pending = None  # (device_out, futures, n, t_enqs)
         while not self._stop.is_set():
             # short poll while a batch is in flight so its results flush
             # promptly under light load
@@ -291,9 +291,14 @@ class InferenceServer:
                     self._finish(*pending)
                     pending = None
                 continue
+            # transition futures to RUNNING; drops client-cancelled ones and
+            # makes later set_result race-free (cancel() can no longer win)
+            batch = [b for b in batch if b[1].set_running_or_notify_cancel()]
+            if not batch:
+                continue
             samples = [b[0] for b in batch]
             futures = [b[1] for b in batch]
-            t_enq = min(b[2] for b in batch)
+            t_enqs = [b[2] for b in batch]
             try:
                 out = self._launch(samples)
             except Exception as e:  # surface server errors to callers
@@ -303,7 +308,7 @@ class InferenceServer:
                 continue
             if pending is not None:
                 self._finish(*pending)
-            pending = (out, futures, len(batch), t_enq)
+            pending = (out, futures, len(batch), t_enqs)
         if pending is not None:
             self._finish(*pending)
 
@@ -314,6 +319,26 @@ class InferenceServer:
 
         n = len(samples)
         pad = self.batch_size - n
+        # a batch mixing uint8-wire and float-wire cameras cannot ship as
+        # one array: np.stack would silently promote the uint8 rows to
+        # float WITHOUT normalization. Normalize the uint8 minority on host
+        # for mixed batches (rare); uniform batches keep their wire format.
+        dtypes = {np.asarray(s["camera_imgs"]).dtype for s in samples}
+        if len(dtypes) > 1:
+            from .data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+            samples = [
+                dict(
+                    s,
+                    camera_imgs=(
+                        (np.asarray(s["camera_imgs"], np.float32) / 255.0
+                         - IMAGENET_MEAN) / IMAGENET_STD
+                        if np.asarray(s["camera_imgs"]).dtype == np.uint8
+                        else s["camera_imgs"]
+                    ),
+                )
+                for s in samples
+            ]
         # pad rows mirror the first sample's dtypes so a partial batch keeps
         # the same jit signature (uint8 wire stays uint8)
         pad_sample = {k: np.zeros_like(v) for k, v in samples[0].items()}
@@ -332,7 +357,7 @@ class InferenceServer:
         )
         return self._serve(self.variables, cams, lidar, radars)
 
-    def _finish(self, out, futures, n: int, t_enq: float) -> None:
+    def _finish(self, out, futures, n: int, t_enqs: List[float]) -> None:
         """Fetch one launched batch's results and resolve its futures."""
         try:
             results = self._fetch(out, n)
@@ -342,11 +367,14 @@ class InferenceServer:
                     fut.set_exception(e)
             return
         for fut, res in zip(futures, results):
-            fut.set_result(res)
+            if not fut.done():  # RUNNING (cancel can't win) but be safe
+                fut.set_result(res)
+        now = time.perf_counter()
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["padded_rows"] += self.batch_size - n
-        self.stats["total_latency_s"] += time.perf_counter() - t_enq
+        # per-REQUEST latency sum, so /stats' total/requests is a true mean
+        self.stats["total_latency_s"] += sum(now - t for t in t_enqs)
 
     def _fetch(self, out, n: int) -> List[Dict]:
         # ONE small host transfer for the whole batch; boxes ship as

@@ -52,6 +52,10 @@ def latest_checkpoint(save_dir: str, prefix: str = "checkpoint_epoch_"):
         return None, -1
     best, best_epoch = None, -1
     for p in d.glob(f"{prefix}*"):
+        if p.name.endswith(".tmp"):
+            # a crash mid-save leaves a truncated .tmp next to the last good
+            # checkpoint — never resume from it
+            continue
         stem = p.stem if p.suffix else p.name
         try:
             epoch = int(stem.replace(prefix, "").split(".")[0])

@@ -178,3 +178,46 @@ def test_async_orbax_checkpoint_roundtrip(tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(4.0))
     assert int(restored["step"]) == 3
+
+
+def test_dataloader_uneven_sharding_equalizes_batch_counts():
+    """len(dataset) % process_count != 0: every process still sees the SAME
+    number of samples/batches (tail dropped) — unequal counts would deadlock
+    the epoch-end collectives."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data import DataLoader
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        SyntheticNuScenesDataset,
+    )
+
+    ds = SyntheticNuScenesDataset(
+        num_samples=11, image_size=(8, 16), max_points=32,
+        max_radar_points=8,
+    )
+    seen = []
+    lens = []
+    for pid in range(2):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=3, prefetch=0,
+            process_index=pid, process_count=2, drop_last=True,
+        )
+        lens.append(len(loader))
+        n = 0
+        for batch in loader:
+            n += len(batch["tokens"])
+            seen.extend(batch["tokens"])
+        assert n == 2 * len(loader)
+    # both processes: floor(11/2)=5 samples -> 2 drop_last batches each
+    assert lens == [2, 2]
+    assert len(seen) == len(set(seen)) == 8  # disjoint coverage
+
+
+def test_latest_checkpoint_ignores_tmp(tmp_path):
+    """A truncated .tmp left by a crash mid-save must never be resumed."""
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        latest_checkpoint,
+    )
+
+    (tmp_path / "checkpoint_epoch_3.msgpack").write_bytes(b"x")
+    (tmp_path / "checkpoint_epoch_9.msgpack.tmp").write_bytes(b"trunc")
+    path, epoch = latest_checkpoint(str(tmp_path))
+    assert epoch == 3 and path.endswith("checkpoint_epoch_3.msgpack")

@@ -238,3 +238,58 @@ def test_stop_fails_queued_futures(tiny_config):
     server.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         fut.result(timeout=5)
+
+
+def test_mixed_wire_batch_normalizes_uint8(tiny_config):
+    """A coalesced batch mixing uint8 and float camera wires must not feed
+    raw 0-255 pixels to the model — the uint8 rows are normalized on host
+    for the mixed batch and match their float-path detections."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=200.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    rng = np.random.RandomState(9)
+    u8 = rng.randint(0, 255, (6, 32, 64, 3), np.uint8)
+    base = _samples(2)
+    s_u8 = dict(base[0], camera_imgs=u8)
+    s_f = base[1]  # float wire
+    with server:
+        # same-batch coalescing (200 ms window)
+        fut_a = server.submit(s_u8)
+        fut_b = server.submit(s_f)
+        out_mixed = fut_a.result(timeout=180)
+        fut_b.result(timeout=180)
+        # reference: the same uint8 sample alone (uniform uint8 batch,
+        # normalized on device)
+        out_solo = server.infer(s_u8, timeout=180)
+    np.testing.assert_allclose(
+        out_mixed["scores"], out_solo["scores"], atol=1e-4
+    )
+
+
+def test_cancelled_future_does_not_kill_dispatch(tiny_config):
+    """A client-cancelled queued future is skipped; the dispatch thread
+    keeps serving subsequent requests."""
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    sample = _samples(1)[0]
+    # cancel while still queued (server not started yet)
+    fut = server.submit(sample)
+    assert fut.cancel()
+    with server:
+        res = server.infer(sample, timeout=180)  # dispatch still alive
+    assert "scores" in res

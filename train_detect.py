@@ -207,9 +207,26 @@ def main(config_path: str | None = None) -> None:
             if keep_last and keep_last > 0 and is_main:
                 import shutil
 
+                def _epoch_of(p):
+                    # "checkpoint_epoch_10.msgpack" / orbax dir "…_10";
+                    # None for unparseable names (e.g. stray .tmp files)
+                    stem = p.stem if p.suffix else p.name
+                    try:
+                        return int(
+                            stem.replace("checkpoint_epoch_", "")
+                            .split(".")[0]
+                        )
+                    except ValueError:
+                        return None
+
                 ckpts = sorted(
-                    save_dir.glob("checkpoint_epoch_*"),
-                    key=lambda p: int(p.stem.split("_")[-1]),
+                    (
+                        p
+                        for p in save_dir.glob("checkpoint_epoch_*")
+                        if not p.name.endswith(".tmp")
+                        and _epoch_of(p) is not None
+                    ),
+                    key=_epoch_of,
                 )
                 for old in ckpts[:-keep_last]:
                     if old.is_dir():
