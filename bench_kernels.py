@@ -138,6 +138,84 @@ def bench_bevpool(results):
             print(f"# bevpool_pallas_{bev}x{bev} FAILED: {e}")
 
 
+def bench_liftsplat(results):
+    """The three geometric lift-splat formulations at production shapes
+    (ROADMAP #2 / VERDICT r02 item 4): naive lifted-tensor scatter, the
+    shipped scalar-scatter+matmul, and the fused weighted Pallas pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        bev_pool_weighted_rows,
+        precompute_bev_chunks,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        lift_splat,
+        lift_splat_matmul_rows,
+        precompute_frustum_cells,
+    )
+
+    rs = np.random.RandomState(0)
+    d, fh, fw, c = 40, 28, 50, 256
+    hw = fh * fw
+    rows = 6  # cameras of one sample
+    bev = 50
+    num_cells = bev * bev
+    intr = np.array([[1200.0, 0, 800], [0, 1200.0, 450], [0, 0, 1]])
+    cells = precompute_frustum_cells(
+        intr, np.eye(3), np.zeros(3), (fh, fw), (448, 800),
+        np.linspace(1.0, 60.0, d), (bev, bev),
+        (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+    )  # (D, H', W')
+
+    feats = jnp.asarray(rs.randn(rows, fh, fw, c).astype(np.float32))
+    logits = jnp.asarray(rs.randn(rows, fh, fw, d).astype(np.float32))
+    cells_rows = jnp.asarray(
+        np.broadcast_to(cells.reshape(1, -1), (rows, d * hw)).copy()
+    )
+
+    naive = jax.jit(
+        lambda f, l: jnp.sum(lift_splat(f, l, jnp.asarray(cells), num_cells))
+    )
+    dt = _time(naive, feats, logits)
+    results["liftsplat_scatter_ms"] = dt * 1e3
+    print(f"# liftsplat_scatter (6 cams): {dt * 1e3:.3f} ms")
+
+    matmul = jax.jit(
+        lambda f, l, i: jnp.sum(lift_splat_matmul_rows(f, l, i, num_cells))
+    )
+    dt = _time(matmul, feats, logits, cells_rows)
+    results["liftsplat_matmul_ms"] = dt * 1e3
+    print(f"# liftsplat_matmul (6 cams): {dt * 1e3:.3f} ms")
+
+    plan = precompute_bev_chunks(cells.reshape(-1), num_cells)
+    pi = jnp.asarray(np.broadcast_to(
+        plan["point_idx"], (rows,) + plan["point_idx"].shape).copy())
+    li = jnp.asarray(np.broadcast_to(
+        plan["local_ids"], (rows,) + plan["local_ids"].shape).copy())
+    bi = jnp.asarray(np.broadcast_to(
+        plan["block_idx"], (rows,) + plan["block_idx"].shape).copy())
+
+    def pallas_fused(f, l, a, b, cc):
+        probs = jax.nn.softmax(l, axis=-1)  # (X, H, W, D)
+        w = jnp.transpose(probs, (0, 3, 1, 2)).reshape(rows, d * hw)
+        return jnp.sum(
+            bev_pool_weighted_rows(
+                f.reshape(rows, hw, c), w, a, b, cc,
+                num_cells=num_cells,
+                num_cells_pad=plan["num_cells_pad"],
+            )
+        )
+
+    try:
+        fn = jax.jit(pallas_fused)
+        dt = _time(fn, feats, logits, pi, li, bi)
+        results["liftsplat_pallas_ms"] = dt * 1e3
+        print(f"# liftsplat_pallas (6 cams): {dt * 1e3:.3f} ms")
+    except Exception as e:
+        print(f"# liftsplat_pallas FAILED: {e}")
+
+
 def bench_foldbn(results):
     import jax
     import jax.numpy as jnp
@@ -266,6 +344,8 @@ def main():
         bench_pointnet(results)
     if "bevpool" in which:
         bench_bevpool(results)
+    if "liftsplat" in which:
+        bench_liftsplat(results)
     if "foldbn" in which or "trunk" in which:
         bench_foldbn(results)
     if "train" in which:

@@ -1,0 +1,150 @@
+"""Python client for the serving HTTP API (serve.py / serving.make_http_server).
+
+The reference has no serving stack at all (SURVEY §5 — inference is a batch
+CLI, ref: inference.py); this client completes the deployment surface added
+here: npz wire encoding (uint8 camera pass-through for the low-traffic path),
+bounded retries with exponential backoff on transient failures (connection
+errors, 503), and no retries on client errors (4xx).
+
+    from bevfusion_multimodal_3d_object_detection_tpu.client import (
+        InferenceClient,
+    )
+    client = InferenceClient("http://127.0.0.1:8080")
+    det = client.infer({"camera_imgs": imgs, "lidar_points": pts,
+                        "radar_points": radar})
+    det["boxes"], det["scores"], det["labels"]
+
+Stdlib-only (urllib): importable anywhere the framework runs, no extra deps.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class ServerError(RuntimeError):
+    """5xx/503 from the server (retried up to the configured budget)."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+class ClientError(ValueError):
+    """4xx from the server — the request itself is wrong; never retried."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+def encode_npz(sample: Dict[str, np.ndarray]) -> bytes:
+    """np.savez the sample dict. uint8 arrays (camera images on the compact
+    wire — serving.py normalizes on device) stay uint8; everything else is
+    cast to float32."""
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        **{
+            k: (
+                np.asarray(v)
+                if np.asarray(v).dtype == np.uint8
+                else np.asarray(v, np.float32)
+            )
+            for k, v in sample.items()
+        },
+    )
+    return buf.getvalue()
+
+
+class InferenceClient:
+    def __init__(
+        self,
+        base_url: str = "http://127.0.0.1:8080",
+        timeout_s: float = 120.0,
+        retries: int = 3,
+        backoff_s: float = 0.5,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+        self.retries = retries
+        self.backoff_s = backoff_s
+
+    # -- low-level ---------------------------------------------------------
+
+    def _request(
+        self,
+        path: str,
+        data: Optional[bytes] = None,
+        content_type: str = "application/x-npz",
+        retryable: bool = True,
+    ) -> Dict:
+        last: Exception = RuntimeError("no attempt")
+        attempts = self.retries + 1 if retryable else 1
+        for attempt in range(attempts):
+            if attempt:
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+            req = urllib.request.Request(
+                self.base_url + path,
+                data=data,
+                headers=(
+                    {"Content-Type": content_type} if data is not None else {}
+                ),
+                method="POST" if data is not None else "GET",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    return json.loads(r.read().decode())
+            except urllib.error.HTTPError as e:
+                body = e.read().decode(errors="replace")
+                try:
+                    msg = json.loads(body).get("error", body)
+                except json.JSONDecodeError:
+                    msg = body
+                if 400 <= e.code < 500:
+                    raise ClientError(e.code, msg) from None
+                last = ServerError(e.code, msg)
+                if e.code != 503:  # 500s are not known-transient
+                    raise last from None
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last = e  # connection refused/reset, DNS, timeout: transient
+        raise last
+
+    # -- API ---------------------------------------------------------------
+
+    def infer(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """One sample -> {"boxes": (K, 9) f32, "scores": (K,) f32,
+        "labels": (K,) i32}. Retries only on transport errors / 503 —
+        NOT on an inference that was accepted (no duplicated work)."""
+        out = self._request("/infer", data=encode_npz(sample))
+        return {
+            "boxes": np.asarray(out["boxes"], np.float32),
+            "scores": np.asarray(out["scores"], np.float32),
+            "labels": np.asarray(out["labels"], np.int32),
+        }
+
+    def healthz(self) -> bool:
+        try:
+            return self._request("/healthz").get("status") == "ok"
+        except Exception:
+            return False
+
+    def wait_ready(self, timeout_s: float = 300.0, poll_s: float = 1.0) -> None:
+        """Block until /healthz answers (the serving graph compile on a cold
+        cache takes minutes on this host)."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self.healthz():
+                return
+            time.sleep(poll_s)
+        raise TimeoutError(f"server not ready after {timeout_s:.0f}s")
+
+    def stats(self) -> Dict:
+        return self._request("/stats")

@@ -15,6 +15,7 @@ behavior. See SURVEY.md quirk ledger Q1-Q18.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -226,7 +227,10 @@ class BEVFusionSpec:
     # geometric-splat formulation: 'matmul' scatters scalar depth probs and
     # contracts features on the MXU (1.55x end-to-end measured,
     # ops/bev_splat.py:lift_splat_matmul); 'scatter' is the naive
-    # lifted-tensor scatter-add (same math, different float summation order)
+    # lifted-tensor scatter-add (same math, different float summation order);
+    # 'pallas' fuses the whole lift-splat into one weighted Pallas pool pass
+    # on INFERENCE paths when the batch carries chunk plans (dataset
+    # return_camera_chunks), falling back to 'matmul' otherwise/in training.
     splat_mode: str = "matmul"
 
 
@@ -680,12 +684,34 @@ class ParallelSpec:
         mh = p.get("multi_host", {}) or {}
         if isinstance(mh, bool):
             mh = {"enable": mh}
-        # honor the reference's own (dead) distributed block when its
-        # world_size > 1 and multi_host isn't explicitly configured
+        # honor the reference's own (dead) distributed block only when
+        # multi_host isn't explicitly configured AND a coordinator is
+        # actually resolvable (config or env). Upstream the block is a
+        # no-op (never read), so a reference config with
+        # distributed.enable=true must not make startup hang/fail here —
+        # repo convention: dead reference keys keep no-op behavior unless
+        # the capability can really run.
         ref_dist = (
             _get(cfg, "hardware", "gpu", "distributed", default={}) or {}
         )
-        enable = mh.get("enable", bool(ref_dist.get("enable", False)))
+        if "enable" in mh:
+            enable = bool(mh["enable"])
+        elif ref_dist.get("enable", False):
+            coordinator_resolvable = bool(
+                mh.get("coordinator_address")
+                or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            )
+            enable = coordinator_resolvable
+            if not coordinator_resolvable:
+                print(
+                    "Warning: hardware.gpu.distributed.enable=true but no "
+                    "coordinator is configured (parallel.multi_host."
+                    "coordinator_address or JAX_COORDINATOR_ADDRESS); "
+                    "staying single-process (the reference never reads "
+                    "this block either)."
+                )
+        else:
+            enable = False
         return ParallelSpec(
             data_parallel=p.get("data_parallel", 1),
             view_parallel=p.get("view_parallel", 1),

@@ -120,6 +120,7 @@ class NuScenesDataset:
         config: Optional[Dict] = None,
         seed: Optional[int] = None,
         return_camera_cells: bool = False,
+        return_camera_chunks: bool = False,
         bev_h: int = 50,
         bev_w: int = 50,
         depth_bins: int = 40,
@@ -141,6 +142,24 @@ class NuScenesDataset:
             num_sweeps = ds.num_sweeps
             radar_num_sweeps = ds.radar_num_sweeps
             compat = CompatFlags.from_config(config)
+            # the geometric camera-to-BEV path needs per-sample frustum
+            # cells (and, for splat_mode: pallas, the sorted chunk plans) —
+            # derive them from the model config so the CLIs wire the
+            # geometric inputs automatically
+            bev_cfg = (
+                (config.get("model", {}) or {}).get("bev_fusion", {}) or {}
+            )
+            if bev_cfg.get("camera_to_bev", "pseudo") == "geometric":
+                return_camera_cells = True
+                return_camera_chunks = (
+                    bev_cfg.get("splat_mode", "matmul") == "pallas"
+                )
+                dataset_cfg = config.get("dataset", {}) or {}
+                bev_h = bev_cfg.get("bev_h", dataset_cfg.get("bev_h", 50))
+                bev_w = bev_cfg.get("bev_w", dataset_cfg.get("bev_w", 50))
+                depth_bins = bev_cfg.get("depth_bins", 40)
+                depth_min = bev_cfg.get("depth_min", 1.0)
+                depth_max = bev_cfg.get("depth_max", 60.0)
 
         self.data_root = Path(data_root)
         self.split = split
@@ -155,6 +174,10 @@ class NuScenesDataset:
         # loading is deterministic and thread-safe regardless of access order
         self.seed = 0 if seed is None else int(seed)
         self.return_camera_cells = return_camera_cells
+        # chunk plans for the fused Pallas splat (splat_mode: pallas) —
+        # calibration-only index math, cached per distinct cells array
+        self.return_camera_chunks = return_camera_chunks
+        self._chunk_cache: Dict[bytes, Dict[str, np.ndarray]] = {}
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.num_sweeps = num_sweeps
@@ -350,8 +373,13 @@ class NuScenesDataset:
             "gt_velocities": gt_vel,
             "token": info["token"],
         }
-        if self.return_camera_cells:
+        if self.return_camera_cells or self.return_camera_chunks:
             sample["camera_cells"] = self._frustum_cells(info)
+            if self.return_camera_chunks:
+                plans = self._chunk_plans(sample["camera_cells"])
+                sample["camera_point_idx"] = plans["point_idx"]
+                sample["camera_local_ids"] = plans["local_ids"]
+                sample["camera_block_idx"] = plans["block_idx"]
         cam_front = info.get("cams", {}).get("CAM_FRONT", {})
         if "calibrated_sensor" in cam_front and "lidar_calibrated_sensor" in info:
             # front-camera projection data for the visualization path
@@ -371,6 +399,31 @@ class NuScenesDataset:
                 "trans": trans,
             }
         return sample
+
+    def _chunk_plans(self, camera_cells: np.ndarray) -> Dict[str, np.ndarray]:
+        """Per-camera sorted-chunk plans (ops.bev_pool_pallas.
+        precompute_bev_chunks) for the fused Pallas splat: point_idx /
+        local_ids (N, n_chunks, T), block_idx (N, n_chunks). Cached by the
+        cells bytes — calibrations repeat across a scene's samples."""
+        from ..ops.bev_pool_pallas import precompute_bev_chunks
+
+        num_cells = self.bev_h * self.bev_w
+        per_cam = []
+        for cam_cells in camera_cells:  # (D, H', W')
+            key = cam_cells.tobytes()
+            plan = self._chunk_cache.get(key)
+            if plan is None:
+                plan = precompute_bev_chunks(
+                    cam_cells.reshape(-1), num_cells
+                )
+                if len(self._chunk_cache) > 256:  # bound host memory
+                    self._chunk_cache.clear()
+                self._chunk_cache[key] = plan
+            per_cam.append(plan)
+        return {
+            k: np.stack([p[k] for p in per_cam])
+            for k in ("point_idx", "local_ids", "block_idx")
+        }
 
     def _frustum_cells(self, info) -> np.ndarray:
         """(N_cam, D, H', W') precomputed BEV cell ids for the geometric
@@ -483,6 +536,9 @@ def collate_fn(
     }
     if "camera_cells" in samples[0]:
         out["camera_cells"] = np.stack([s["camera_cells"] for s in samples])
+    for k in ("camera_point_idx", "camera_local_ids", "camera_block_idx"):
+        if k in samples[0]:
+            out[k] = np.stack([s[k] for s in samples])
     gt_boxes = np.zeros((batch_size, max_objects, 7), np.float32)
     gt_labels = np.full((batch_size, max_objects), -1, np.int64)
     gt_vel = np.zeros((batch_size, max_objects, 2), np.float32)

@@ -54,6 +54,7 @@ class MultiModal3DDetector(nn.Module):
         radar_points: Optional[jnp.ndarray] = None,
         train: bool = False,
         camera_cells: Optional[jnp.ndarray] = None,
+        camera_chunks: Optional[tuple] = None,
     ) -> Dict[str, jnp.ndarray]:
         s = self.spec
 
@@ -103,6 +104,7 @@ class MultiModal3DDetector(nn.Module):
             )(
                 cam_feat, lidar_feat, radar_feat,
                 train=train, camera_cells=camera_cells,
+                camera_chunks=camera_chunks,
             )
         elif s.fusion_type == "attention":
             fused = FlexibleAttentionFusion(

@@ -70,8 +70,18 @@ class GeometricCameraBEV(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, camera_features, camera_cells, train: bool = False):
-        from ..ops.bev_splat import bev_scatter_add, lift_splat_matmul_rows
+    def __call__(
+        self,
+        camera_features,
+        camera_cells,
+        train: bool = False,
+        camera_chunks=None,
+    ):
+        from ..ops.bev_splat import (
+            bev_scatter_add,
+            lift_splat_matmul_rows,
+            lift_splat_pallas_rows,
+        )
 
         s = self.spec
         b, n, fh, fw, c = camera_features.shape
@@ -84,7 +94,30 @@ class GeometricCameraBEV(nn.Module):
             s.bev_channels, (1, 1), dtype=self.dtype, name="feat_proj"
         )(flat)
         cells = camera_cells.reshape(b * n, d * fh * fw)
-        if s.splat_mode == "matmul":
+        if (
+            s.splat_mode == "pallas"
+            and camera_chunks is not None
+            and not train
+        ):
+            # fused weighted Pallas pool: one kernel pass, no weight matrix
+            # in HBM (ops/bev_pool_pallas.bev_pool_weighted). Inference-only
+            # (no VJP); the train step falls through to the matmul path
+            # (identical math, float-summation order only).
+            from ..ops.bev_pool_pallas import _round_up
+
+            pi, li, bi = camera_chunks
+            nc_pad = _round_up(max(s.bev_h * s.bev_w, 256), 256)
+            bev = lift_splat_pallas_rows(
+                feat,
+                depth_logits,
+                pi.reshape((b * n,) + pi.shape[2:]),
+                li.reshape((b * n,) + li.shape[2:]),
+                bi.reshape((b * n,) + bi.shape[2:]),
+                num_cells=s.bev_h * s.bev_w,
+                num_cells_pad=nc_pad,
+                interpret=jax.default_backend() == "cpu",
+            ).astype(feat.dtype)
+        elif s.splat_mode in ("matmul", "pallas"):
             # fast formulation: scatter scalar depth probs into per-pixel
             # cell weights, contract features on the MXU (no lifted tensor
             # in HBM; 1.55x end-to-end measured, ops/bev_splat)
@@ -133,6 +166,7 @@ class FlexibleBEVFusion(nn.Module):
         radar_features: Optional[jnp.ndarray] = None,
         train: bool = False,
         camera_cells: Optional[jnp.ndarray] = None,
+        camera_chunks: Optional[tuple] = None,
     ) -> jnp.ndarray:
         s = self.spec
         bev_feats = []
@@ -145,7 +179,10 @@ class FlexibleBEVFusion(nn.Module):
             ):
                 cam = GeometricCameraBEV(
                     spec=s, dtype=self.dtype, name="geometric_camera_bev"
-                )(camera_features, camera_cells, train=train)
+                )(
+                    camera_features, camera_cells, train=train,
+                    camera_chunks=camera_chunks,
+                )
                 bev_feats.append(cam)
             else:
                 # reference parity: mean over cameras + conv + resize

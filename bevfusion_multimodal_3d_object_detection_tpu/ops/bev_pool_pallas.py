@@ -120,6 +120,131 @@ def precompute_bev_chunks(
     }
 
 
+def _make_weighted_kernel(window: int):
+    """Weighted variant: each chunk point carries a scalar weight (its depth
+    probability) — the lift-splat contraction fused into the pooling pass
+    (ROADMAP #2: weighted one-hot instead of 0/1, same chunk-plan machinery).
+    """
+
+    def kernel(blocks_ref, lids_ref, w_ref, feats_ref, out_ref):
+        step = pl.program_id(0)
+        prev = blocks_ref[jnp.maximum(step - 1, 0)]
+
+        @pl.when(jnp.logical_or(step == 0, prev != blocks_ref[step]))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        t = lids_ref.shape[1]
+        lids = lids_ref[pl.ds(step, 1), :].reshape(t, 1)
+        w = w_ref[pl.ds(step, 1), :].reshape(t, 1)
+        feats = feats_ref[0]
+        mask = lids == jax.lax.broadcasted_iota(jnp.int32, (t, window), 1)
+        onehot = jnp.where(mask, w, jnp.zeros_like(w)).astype(feats.dtype)
+        local = jax.lax.dot_general(
+            onehot,
+            feats,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[...] += local.astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_cells", "num_cells_pad", "window", "interpret"),
+)
+def bev_pool_weighted(
+    features: jnp.ndarray,
+    weights: jnp.ndarray,
+    point_idx: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    block_idx: jnp.ndarray,
+    num_cells: int,
+    num_cells_pad: int,
+    window: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Weighted BEV pool — the fused lift-splat for one camera row.
+
+    Computes `out[cell, c] = sum_p weights[p] * features[pixel(p), c]` over
+    frustum points p whose precomputed cell id maps into [0, num_cells) —
+    the full lift-splat (ops/bev_splat.lift_splat) in ONE Pallas pass with
+    no lifted tensor and no (HW, cells) weight matrix in HBM.
+
+    Args:
+      features: (HW, C) per-PIXEL image features (NOT per frustum point).
+      weights:  (P,) per-frustum-point scalar depth probs, laid out to match
+        the `cell_ids` flattening the chunk plan was built from (P = D * HW,
+        point p = d * HW + pixel).
+      point_idx/local_ids/block_idx: plan from `precompute_bev_chunks`.
+    """
+    hw, c = features.shape
+    p = weights.shape[0]
+    n_chunks, t = point_idx.shape
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1, c), features.dtype)], axis=0
+    )
+    w_pad = jnp.concatenate([weights, jnp.zeros((1,), weights.dtype)])
+    # point -> pixel: p = d * HW + pixel; the pad index P gathers zeros
+    pix = jnp.where(point_idx >= p, hw, point_idx % hw)
+    gathered = feats_pad[pix]  # (n_chunks, T, C)
+    w_gath = w_pad[jnp.minimum(point_idx, p)].astype(jnp.float32)
+
+    out = pl.pallas_call(
+        _make_weighted_kernel(window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # block_idx
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_chunks, t), lambda i, b_ref: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_chunks, t), lambda i, b_ref: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, t, c), lambda i, b_ref: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (window, c), lambda i, b_ref: (b_ref[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_cells_pad, c), jnp.float32),
+        interpret=interpret,
+    )(block_idx, local_ids, w_gath, gathered)
+    return out[:num_cells]
+
+
+def bev_pool_weighted_rows(
+    features: jnp.ndarray,
+    weights: jnp.ndarray,
+    point_idx: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    block_idx: jnp.ndarray,
+    num_cells: int,
+    num_cells_pad: int,
+    window: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched rows: features (X, HW, C), weights (X, P), plans
+    (X, n_chunks, ...) -> (X, num_cells, C)."""
+    fn = partial(
+        bev_pool_weighted,
+        num_cells=num_cells,
+        num_cells_pad=num_cells_pad,
+        window=window,
+        interpret=interpret,
+    )
+    return jax.vmap(fn)(features, weights, point_idx, local_ids, block_idx)
+
+
 def _make_kernel(window: int):
     def kernel(blocks_ref, lids_ref, feats_ref, out_ref):
         # (T, W) one-hot of window-local ids contracted on the MXU; padding

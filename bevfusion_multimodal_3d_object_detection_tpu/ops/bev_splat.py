@@ -184,6 +184,52 @@ def _splat_weights(
     return jax.vmap(weights_one)(depth_probs, ids)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_cells", "num_cells_pad", "window", "interpret"),
+)
+def lift_splat_pallas_rows(
+    features: jnp.ndarray,
+    depth_logits: jnp.ndarray,
+    point_idx: jnp.ndarray,
+    local_ids: jnp.ndarray,
+    block_idx: jnp.ndarray,
+    num_cells: int,
+    num_cells_pad: int,
+    window: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused lift-splat via the weighted Pallas BEV pool — one kernel pass,
+    no lifted tensor and no (HW, cells) weight matrix in HBM (ROADMAP #2).
+
+    features (X, H', W', C), depth_logits (X, H', W', D), plus per-row chunk
+    plans from `ops.bev_pool_pallas.precompute_bev_chunks` built over the
+    same (D, H', W')-flattened cell ids the other formulations take.
+    INFERENCE ONLY: the pallas_call has no VJP — training paths use
+    `lift_splat_matmul_rows` (identical math, float-order differences only).
+    Returns (X, num_cells, C) float32.
+    """
+    from .bev_pool_pallas import bev_pool_weighted_rows
+
+    x, fh, fw, c = features.shape
+    d = depth_logits.shape[-1]
+    hw = fh * fw
+    probs = jax.nn.softmax(depth_logits, axis=-1)  # (X, H', W', D)
+    # weights in the (D, HW) flattening of the cell-id plan: p = d*HW + pix
+    weights = jnp.transpose(probs, (0, 3, 1, 2)).reshape(x, d * hw)
+    return bev_pool_weighted_rows(
+        features.reshape(x, hw, c),
+        weights,
+        point_idx,
+        local_ids,
+        block_idx,
+        num_cells=num_cells,
+        num_cells_pad=num_cells_pad,
+        window=window,
+        interpret=interpret,
+    )
+
+
 @partial(jax.jit, static_argnames=("num_cells",))
 def lift_splat_matmul_rows(
     features: jnp.ndarray,

@@ -411,8 +411,16 @@ class InferenceServer:
 # ---------------------------------------------------------------------------
 
 
-def make_http_server(server: InferenceServer, host: str, port: int):
+def make_http_server(
+    server: InferenceServer,
+    host: str,
+    port: int,
+    max_request_bytes: int = 64 * 1024 * 1024,
+):
     """A ThreadingHTTPServer wrapping an InferenceServer.
+
+    Requests with Content-Length above `max_request_bytes` (default 64 MiB,
+    ~10x a full uint8 tri-modal sample) get 413 without reading the body.
 
     Endpoints:
       GET  /healthz -> {"status": "ok"} once the jitted graph is warm.
@@ -466,6 +474,15 @@ def make_http_server(server: InferenceServer, host: str, port: int):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_request_bytes:
+                    self._reply(
+                        413,
+                        {
+                            "error": "request too large: "
+                            f"{n} > {max_request_bytes} bytes"
+                        },
+                    )
+                    return
                 raw = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "application/json")
                 if "npz" in ctype:
@@ -494,7 +511,19 @@ def make_http_server(server: InferenceServer, host: str, port: int):
                         "labels": res["labels"].tolist(),
                     },
                 )
-            except Exception as e:
+            except (ValueError, KeyError, _json.JSONDecodeError) as e:
+                # malformed request: parse / shape-contract errors
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except TimeoutError:
+                self._reply(503, {"error": "inference timed out"})
+            except RuntimeError as e:
+                # server lifecycle errors (e.g. "InferenceServer stopped")
+                # are unavailability, not client faults — and internals must
+                # not leak in the body
+                code = 503 if "stopped" in str(e).lower() else 500
+                self._reply(code, {"error": "server unavailable"
+                                   if code == 503 else "internal error"})
+            except Exception:
+                self._reply(500, {"error": "internal error"})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -43,6 +43,20 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def is_committed_checkpoint(p: Path) -> bool:
+    """True iff `p` is a durably committed checkpoint artifact.
+
+    Rejects every in-progress/truncated form either backend can leave
+    behind: our msgpack '.tmp' staging file and orbax's
+    '<name>.orbax-checkpoint-tmp[-...]' staging directory (which would
+    otherwise parse to the same epoch as the real checkpoint and shadow
+    it). Accepts only a bare directory name (orbax) or a '.msgpack' file.
+    """
+    if ".orbax-checkpoint-tmp" in p.name:
+        return False
+    return p.suffix in ("", ".msgpack")
+
+
 def latest_checkpoint(save_dir: str, prefix: str = "checkpoint_epoch_"):
     """(path, epoch) of the newest epoch checkpoint in `save_dir` (msgpack
     file or orbax directory), or (None, -1). Powers train.resume auto-resume
@@ -52,9 +66,10 @@ def latest_checkpoint(save_dir: str, prefix: str = "checkpoint_epoch_"):
         return None, -1
     best, best_epoch = None, -1
     for p in d.glob(f"{prefix}*"):
-        if p.name.endswith(".tmp"):
-            # a crash mid-save leaves a truncated .tmp next to the last good
-            # checkpoint — never resume from it
+        if not is_committed_checkpoint(p):
+            # a crash mid-save leaves a truncated .tmp / orbax
+            # *.orbax-checkpoint-tmp next to the last good checkpoint —
+            # never resume from it
             continue
         stem = p.stem if p.suffix else p.name
         try:

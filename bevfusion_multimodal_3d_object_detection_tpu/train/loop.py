@@ -108,6 +108,14 @@ def _model_kwargs(spec: DetectorSpec, batch: Dict):
     kwargs = {}
     if spec.use_camera and "camera_cells" in batch:
         kwargs["camera_cells"] = batch["camera_cells"]
+    if spec.use_camera and "camera_point_idx" in batch:
+        # chunk plans for the fused Pallas splat (splat_mode: pallas;
+        # inference paths only — the module ignores them when train=True)
+        kwargs["camera_chunks"] = (
+            batch["camera_point_idx"],
+            batch["camera_local_ids"],
+            batch["camera_block_idx"],
+        )
     return kwargs
 
 

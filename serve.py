@@ -39,6 +39,11 @@ def main() -> None:
                     help="keep BatchNorms in the serving graph")
     ap.add_argument("--pallas", action="store_true",
                     help="use the fused Pallas PointNet (wins at batch>=128)")
+    ap.add_argument("--max-request-mb", type=float, default=64.0,
+                    help="reject POST bodies larger than this with 413")
+    ap.add_argument("--drain-timeout", type=float, default=30.0,
+                    help="max seconds to wait for in-flight requests on "
+                    "SIGTERM/SIGINT before forcing exit")
     args = ap.parse_args()
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
@@ -64,15 +69,38 @@ def main() -> None:
     )
     print(f"Compiling serving graph (batch={args.batch_size}) ...")
     with server:  # warmup compile happens in start()
-        httpd = make_http_server(server, args.host, args.port)
+        httpd = make_http_server(
+            server, args.host, args.port,
+            max_request_bytes=int(args.max_request_mb * 1024 * 1024),
+        )
+        # graceful drain: stop accepting, finish in-flight handler threads
+        # (joined by server_close thanks to non-daemon threads), then let
+        # `with server` drain the inference queue. A watchdog forces exit if
+        # a wedged client connection holds drain past --drain-timeout.
+        httpd.daemon_threads = False
+        httpd.block_on_close = True
+
+        import os
+        import signal
+        import threading
+
+        def _drain(signum, frame):
+            print(f"Signal {signum}: draining in-flight requests "
+                  f"(timeout {args.drain_timeout:.0f}s)")
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
+            t = threading.Timer(args.drain_timeout, os._exit, args=(0,))
+            t.daemon = True
+            t.start()
+
+        signal.signal(signal.SIGTERM, _drain)
+        signal.signal(signal.SIGINT, _drain)
         print(f"Serving on http://{args.host}:{args.port} "
               f"(POST /infer, GET /healthz, GET /stats)")
         try:
             httpd.serve_forever()
-        except KeyboardInterrupt:
-            print("Shutting down")
         finally:
             httpd.server_close()
+        print("Drained; shutting down")
 
 
 if __name__ == "__main__":

@@ -6,9 +6,19 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU aborts any collective whose peers take >40 s to arrive; on
+    # this contended 1-core host a multi-collective dual-axis program can
+    # legitimately take longer (rendezvous STARVATION, not deadlock —
+    # diagnosed r03, ARCHITECTURE.md "Multi-chip validation"). Raise the
+    # abort thresholds so slow-but-progressing programs complete.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (  # noqa: E402
     enable_compilation_cache,

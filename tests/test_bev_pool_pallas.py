@@ -121,3 +121,94 @@ def test_precompute_chunks_window_invariant():
     real = plan["point_idx"][plan["point_idx"] < 2000]
     valid_count = int((ids >= 0).sum())
     assert len(np.unique(real)) == len(real) == valid_count
+
+
+def test_bev_pool_weighted_matches_lift_splat():
+    """The fused weighted pool equals the reference lift-splat (softmax-
+    weighted lifted-tensor scatter-add) at frustum-like shapes."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        bev_pool_weighted,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        lift_splat,
+    )
+
+    rng = np.random.RandomState(4)
+    fh, fw, c, d, num_cells = 8, 22, 32, 10, 2500
+    hw = fh * fw
+    feats = rng.randn(1, fh, fw, c).astype(np.float32)
+    logits = rng.randn(1, fh, fw, d).astype(np.float32)
+    cells = rng.randint(0, num_cells, (d, fh, fw)).astype(np.int32)
+    cells[rng.rand(d, fh, fw) < 0.15] = -1
+
+    want = np.asarray(
+        lift_splat(
+            jnp.asarray(feats), jnp.asarray(logits), jnp.asarray(cells),
+            num_cells,
+        )[0]
+    )
+
+    plan = precompute_bev_chunks(cells.reshape(-1), num_cells)
+    # weights laid out (D, HW) flattened == the cells flattening
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    weights = probs[0].reshape(hw, d).T.reshape(-1)  # (D*HW,)
+    got = np.asarray(
+        bev_pool_weighted(
+            jnp.asarray(feats.reshape(hw, c)),
+            jnp.asarray(weights),
+            jnp.asarray(plan["point_idx"]),
+            jnp.asarray(plan["local_ids"]),
+            jnp.asarray(plan["block_idx"]),
+            num_cells=num_cells,
+            num_cells_pad=plan["num_cells_pad"],
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_bev_pool_weighted_rows_matches_matmul_rows():
+    """Batched fused pool equals lift_splat_matmul_rows (the shipped fast
+    XLA formulation) row for row."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        bev_pool_weighted_rows,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        lift_splat_matmul_rows,
+    )
+
+    rng = np.random.RandomState(5)
+    x, fh, fw, c, d, num_cells = 2, 6, 12, 16, 8, 900
+    hw = fh * fw
+    feats = rng.randn(x, fh, fw, c).astype(np.float32)
+    logits = rng.randn(x, fh, fw, d).astype(np.float32)
+    cells = rng.randint(-1, num_cells, (x, d, fh, fw)).astype(np.int32)
+
+    want = np.asarray(
+        lift_splat_matmul_rows(
+            jnp.asarray(feats), jnp.asarray(logits),
+            jnp.asarray(cells.reshape(x, -1)), num_cells,
+        )
+    )
+
+    plans = [
+        precompute_bev_chunks(cells[i].reshape(-1), num_cells)
+        for i in range(x)
+    ]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    weights = np.stack(
+        [probs[i].reshape(hw, d).T.reshape(-1) for i in range(x)]
+    )
+    got = np.asarray(
+        bev_pool_weighted_rows(
+            jnp.asarray(feats.reshape(x, hw, c)),
+            jnp.asarray(weights),
+            jnp.asarray(np.stack([p["point_idx"] for p in plans])),
+            jnp.asarray(np.stack([p["local_ids"] for p in plans])),
+            jnp.asarray(np.stack([p["block_idx"] for p in plans])),
+            num_cells=num_cells,
+            num_cells_pad=plans[0]["num_cells_pad"],
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)

@@ -181,3 +181,97 @@ def test_lift_splat_matmul_matches_scatter():
         )
     )
     np.testing.assert_allclose(got_rows, want_rows, atol=1e-5, rtol=1e-5)
+
+
+def test_geometric_pallas_splat_matches_matmul():
+    """splat_mode='pallas' + chunk plans through GeometricCameraBEV equals
+    the matmul formulation; during train=True it falls back to matmul
+    exactly (the pallas path is inference-only: no VJP)."""
+    import jax
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        BEVFusionSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.fusion import (
+        GeometricCameraBEV,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        precompute_bev_chunks,
+    )
+
+    rng = np.random.RandomState(7)
+    b, n, fh, fw, c, d = 1, 2, 4, 6, 8, 5
+    num_cells = 100
+    feats = jnp.asarray(rng.rand(b, n, fh, fw, c), jnp.float32)
+    cells_np = rng.randint(-1, num_cells, (b, n, d, fh, fw)).astype(np.int32)
+    cells = jnp.asarray(cells_np)
+
+    spec_mm = BEVFusionSpec(
+        bev_h=10, bev_w=10, bev_channels=16, depth_bins=d,
+        splat_mode="matmul",
+    )
+    spec_pl = BEVFusionSpec(
+        bev_h=10, bev_w=10, bev_channels=16, depth_bins=d,
+        splat_mode="pallas",
+    )
+    mod_mm = GeometricCameraBEV(spec=spec_mm)
+    mod_pl = GeometricCameraBEV(spec=spec_pl)
+    variables = mod_mm.init({"params": jax.random.PRNGKey(0)}, feats, cells)
+
+    plans = [
+        precompute_bev_chunks(cells_np[0, i].reshape(-1), num_cells)
+        for i in range(n)
+    ]
+    chunks = tuple(
+        jnp.asarray(np.stack([p[k] for p in plans]))[None]
+        for k in ("point_idx", "local_ids", "block_idx")
+    )
+
+    want = mod_mm.apply(variables, feats, cells)
+    got = mod_pl.apply(variables, feats, cells, camera_chunks=chunks)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+    # train=True: must not touch the pallas path (mutable BN stats updated,
+    # gradients well-defined) — output equals the matmul train path
+    want_tr, _ = mod_mm.apply(
+        variables, feats, cells, train=True, mutable=["batch_stats"]
+    )
+    got_tr, _ = mod_pl.apply(
+        variables, feats, cells, train=True, camera_chunks=chunks,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tr), np.asarray(want_tr), atol=1e-5
+    )
+
+
+def test_dataset_chunk_plans_roundtrip():
+    """return_camera_chunks: plans match a direct precompute from the
+    sample's own camera_cells and are cached across samples."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
+        precompute_bev_chunks,
+    )
+
+    class _FakeDS:
+        bev_h, bev_w = 10, 10
+        _chunk_cache = {}
+
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        NuScenesDataset,
+    )
+
+    rng = np.random.RandomState(0)
+    cells = rng.randint(-1, 100, (2, 3, 4, 6)).astype(np.int32)
+    ds = _FakeDS()
+    plans = NuScenesDataset._chunk_plans(ds, cells)
+    want = precompute_bev_chunks(cells[1].reshape(-1), 100)
+    np.testing.assert_array_equal(plans["point_idx"][1], want["point_idx"])
+    np.testing.assert_array_equal(plans["local_ids"][1], want["local_ids"])
+    np.testing.assert_array_equal(plans["block_idx"][1], want["block_idx"])
+    assert len(ds._chunk_cache) == 2
+    # second call hits the cache (same arrays)
+    plans2 = NuScenesDataset._chunk_plans(ds, cells)
+    np.testing.assert_array_equal(
+        plans2["point_idx"], plans["point_idx"]
+    )
+    assert len(ds._chunk_cache) == 2

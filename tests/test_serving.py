@@ -293,3 +293,184 @@ def test_cancelled_future_does_not_kill_dispatch(tiny_config):
     with server:
         res = server.infer(sample, timeout=180)  # dispatch still alive
     assert "scores" in res
+
+
+def test_http_oversized_request_413(tiny_config):
+    """Content-Length over the cap gets 413 without the body being read."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False,
+    )
+    with server:
+        httpd = make_http_server(
+            server, "127.0.0.1", 0, max_request_bytes=1024
+        )
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=b"x" * 2048,
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 413
+            assert "too large" in json.load(ei.value)["error"]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+
+
+def test_http_server_error_not_400(tiny_config):
+    """Server-side faults surface as 5xx with a generic message — a stopped
+    backend is 503, not a client error, and internals don't leak."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False,
+    )
+    with server:
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    # server stopped, httpd still up: requests must get 503
+    try:
+        import io
+
+        sample = _samples(1)[0]
+        buf = io.BytesIO()
+        np.savez(buf, **sample)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npz"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 503
+        assert json.load(ei.value)["error"] == "server unavailable"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_graceful_drain_completes_inflight(tiny_config):
+    """The serve.py drain mechanism (non-daemon handler threads +
+    block_on_close): a request in flight when shutdown begins still gets its
+    response; server_close joins the handler thread."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=300.0,  # slow window
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    with server:
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        httpd.daemon_threads = False
+        httpd.block_on_close = True
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+
+        sample = _samples(1)[0]
+        buf = io.BytesIO()
+        np.savez(buf, **sample)
+        result = {}
+
+        def _client():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npz"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                result.update(json.load(r))
+
+        ct = threading.Thread(target=_client)
+        ct.start()
+        import time as _time
+
+        _time.sleep(0.05)  # request now in the coalescing window
+        httpd.shutdown()      # stop accepting
+        httpd.server_close()  # joins the in-flight handler thread
+        ct.join(timeout=120)
+    assert "boxes" in result  # the in-flight request completed
+
+
+def test_client_roundtrip_and_errors(tiny_config):
+    """InferenceClient: npz roundtrip matches the direct path; 400 raises
+    ClientError without retries; transport errors retry then raise."""
+    import threading
+
+    from bevfusion_multimodal_3d_object_detection_tpu.client import (
+        ClientError,
+        InferenceClient,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+        make_http_server,
+    )
+
+    server = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    with server:
+        httpd = make_http_server(server, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            client = InferenceClient(f"http://127.0.0.1:{port}", retries=1)
+            client.wait_ready(timeout_s=30)
+            sample = _samples(1)[0]
+            out = client.infer(sample)
+            direct = server.infer(sample, timeout=120)
+            np.testing.assert_allclose(
+                out["scores"], direct["scores"], atol=1e-5
+            )
+            assert out["boxes"].shape[1] == 9
+            assert client.stats()["requests"] >= 2
+
+            # malformed sample -> ClientError (no retry storm)
+            with pytest.raises(ClientError):
+                client._request(
+                    "/infer", data=b"junk", content_type="application/json"
+                )
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+    # dead port: bounded retries then the transport error surfaces
+    dead = InferenceClient(
+        f"http://127.0.0.1:{port}", retries=1, backoff_s=0.05, timeout_s=2
+    )
+    assert not dead.healthz()
+    with pytest.raises(OSError):
+        dead.infer(_samples(1)[0])

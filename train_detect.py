@@ -207,6 +207,18 @@ def main(config_path: str | None = None) -> None:
             if keep_last and keep_last > 0 and is_main:
                 import shutil
 
+                from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+                    is_committed_checkpoint,
+                    wait_for_checkpoints,
+                )
+
+                if backend == "orbax_async":
+                    # fence the in-flight write: otherwise the newest
+                    # checkpoint is still a *.orbax-checkpoint-tmp dir, and
+                    # pruning with keep_last=1 would delete the last durable
+                    # one while the new one can still fail
+                    wait_for_checkpoints()
+
                 def _epoch_of(p):
                     # "checkpoint_epoch_10.msgpack" / orbax dir "…_10";
                     # None for unparseable names (e.g. stray .tmp files)
@@ -223,7 +235,7 @@ def main(config_path: str | None = None) -> None:
                     (
                         p
                         for p in save_dir.glob("checkpoint_epoch_*")
-                        if not p.name.endswith(".tmp")
+                        if is_committed_checkpoint(p)
                         and _epoch_of(p) is not None
                     ),
                     key=_epoch_of,
