@@ -253,6 +253,60 @@ def bench_foldbn(results):
     print(f"# camera_trunk_folded_b32: {dt * 1e3:.2f} ms")
 
 
+def bench_trunk_stages(results):
+    """Per-stage camera-trunk attribution at the production shape (VERDICT
+    r02 item 3: where do the 14 ms at b=32 go?). Times nested prefixes of
+    the trunk (stem, stem+stage1, ...) and reports per-stage delta ms, XLA
+    cost-analysis FLOPs, and the implied MXU utilization (v5e bf16 peak
+    ~197 TFLOP/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.models.resnet import (
+        ResNet18Trunk,
+    )
+
+    b, h, w = 192, 448, 800  # 32 samples x 6 cameras
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(b, h, w, 3), jnp.bfloat16)
+
+    # nested trunk prefixes truncated via stage_sizes; stage deltas between
+    # consecutive prefixes attribute time/FLOPs to each stage
+    full_stages = (2, 2, 2)
+    chans = (64, 128, 256)
+    prev_ms = 0.0
+    prev_flops = 0.0
+    peak = 197e12  # v5e bf16
+    for k in range(0, len(full_stages) + 1):
+        model = ResNet18Trunk(
+            dtype=jnp.bfloat16,
+            stage_sizes=full_stages[:k],
+            stage_channels=chans[:k],
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x[:1])
+        fn = jax.jit(lambda v, xx: jnp.sum(model.apply(v, xx)))
+        lowered = fn.lower(variables, x)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        dt = _time(fn, variables, x)
+        name = "stem" if k == 0 else f"stage{k}"
+        d_ms = dt * 1e3 - prev_ms
+        d_fl = flops - prev_flops
+        mfu = d_fl / (d_ms * 1e-3) / peak if d_ms > 0 else 0.0
+        results[f"trunk_{name}_cum_ms"] = dt * 1e3
+        results[f"trunk_{name}_delta_ms"] = d_ms
+        results[f"trunk_{name}_mfu"] = mfu
+        print(
+            f"# trunk upto {name}: {dt * 1e3:.2f} ms cumulative, "
+            f"+{d_ms:.2f} ms, {d_fl / 1e9:.1f} GFLOP delta, "
+            f"{100 * mfu:.1f}% MXU util"
+        )
+        prev_ms = dt * 1e3
+        prev_flops = flops
+
+
 def bench_train(results):
     """Full jitted train step (fwd + on-device targets + loss + grads +
     AdamW + clip) at production shapes, device-resident batch, b=8,
@@ -348,6 +402,8 @@ def main():
         bench_liftsplat(results)
     if "foldbn" in which or "trunk" in which:
         bench_foldbn(results)
+    if "trunkstages" in which:
+        bench_trunk_stages(results)
     if "train" in which:
         bench_train(results)
     print(json.dumps(results, indent=2))
