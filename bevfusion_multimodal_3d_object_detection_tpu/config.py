@@ -668,6 +668,10 @@ class ParallelSpec:
 
     data_parallel: int = 1
     view_parallel: int = 1
+    # ZeRO-1: shard the AdamW moments over the 'data' axis (1/N optimizer
+    # bytes per chip; reduce-scatter/all-gather inserted by XLA —
+    # parallel/zero.py)
+    shard_optimizer: bool = False
     # multi-host: the TPU-native resurrection of the reference's dead
     # hardware.gpu.distributed block (enable/backend/world_size/rank,
     # ref: configs/base.yaml:617-624 — never read there). Coordinator /
@@ -715,6 +719,7 @@ class ParallelSpec:
         return ParallelSpec(
             data_parallel=p.get("data_parallel", 1),
             view_parallel=p.get("view_parallel", 1),
+            shard_optimizer=bool(p.get("shard_optimizer", False)),
             multi_host=enable,
             coordinator_address=mh.get("coordinator_address"),
             num_processes=mh.get(

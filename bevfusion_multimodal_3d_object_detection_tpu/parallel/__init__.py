@@ -1,4 +1,9 @@
 from .mesh import make_mesh, shard_batch, replicate, batch_sharding  # noqa: F401
+from .zero import (  # noqa: F401
+    constrain_opt_state,
+    opt_state_shardings,
+    place_opt_state,
+)
 from .distributed import (  # noqa: F401
     all_processes_mean,
     barrier,

@@ -127,6 +127,7 @@ def make_train_step(
     augment: Optional["AugmentSpec"] = None,
     check_gradients: bool = False,
     donate: bool = True,
+    zero_mesh=None,
 ) -> Callable:
     """Returns jitted train_step(state, batch, rng) -> (state, loss_dict).
 
@@ -135,7 +136,13 @@ def make_train_step(
     reference to the old state across the call. `check_gradients` honors the
     reference's declared-but-dead debug.check_gradients key
     (ref: configs/base.yaml:643): the loss dict gains `grad_norm` (global
-    pre-clip norm) and `grads_finite` (0.0 when any grad is NaN/inf)."""
+    pre-clip norm) and `grads_finite` (0.0 when any grad is NaN/inf).
+
+    `zero_mesh`: a Mesh enables ZeRO-1 optimizer-state sharding — the
+    updated AdamW moments are pinned to 'data'-sharded layouts
+    (parallel/zero.py) so each chip keeps 1/N of the optimizer state and XLA
+    inserts the reduce-scatter/all-gather pattern; the initial state must be
+    placed with `place_opt_state` (Trainer.init_state does)."""
     from ..config import AugmentSpec
 
     spec = model.spec
@@ -205,6 +212,10 @@ def make_train_step(
             losses["grads_finite"] = jnp.isfinite(gnorm).astype(jnp.float32)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if zero_mesh is not None:
+            from ..parallel.zero import constrain_opt_state
+
+            new_opt = constrain_opt_state(new_opt, zero_mesh)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -271,16 +282,24 @@ class Trainer:
         init_rng: Optional[jax.Array] = None,
         augment=None,
         check_gradients: bool = False,
+        shard_optimizer: bool = False,
     ):
         self.model = model
         self.spec = model.spec
         self.train_spec = train_spec
         self.compat = compat
         self.mesh = mesh
+        # ZeRO-1: shard AdamW moments over the 'data' axis (parallel/zero.py)
+        self.shard_optimizer = bool(
+            shard_optimizer
+            and mesh is not None
+            and mesh.shape.get("data", 1) > 1
+        )
         self.tx = make_optimizer(train_spec, compat, steps_per_epoch)
         self.train_step = make_train_step(
             model, self.tx, train_spec, compat, augment=augment,
             check_gradients=check_gradients,
+            zero_mesh=mesh if self.shard_optimizer else None,
         )
         self.eval_step = make_eval_step(model, compat)
         self.rng = (
@@ -307,11 +326,16 @@ class Trainer:
         variables, _ = maybe_load_pretrained_camera(variables, self.spec)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        if self.shard_optimizer:
+            from ..parallel.zero import place_opt_state
+
+            opt_state = place_opt_state(opt_state, self.mesh)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
         )
         return self.state
 
@@ -446,15 +470,19 @@ class Trainer:
             backend=backend,
             keep_on_shape_mismatch=keep_on_shape_mismatch,
         )
+        opt_state = (
+            restored["opt_state"] if restore_optimizer else self.state.opt_state
+        )
+        if restore_optimizer and self.shard_optimizer:
+            # checkpoints hold the gathered (full) moments; re-shard on load
+            from ..parallel.zero import place_opt_state
+
+            opt_state = place_opt_state(opt_state, self.mesh)
         self.state = self.state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             step=restored["step"],
-            opt_state=(
-                restored["opt_state"]
-                if restore_optimizer
-                else self.state.opt_state
-            ),
+            opt_state=opt_state,
         )
         self.best_map = float(restored["best_map"])
         return int(restored["epoch"])

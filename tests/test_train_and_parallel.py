@@ -385,3 +385,89 @@ def test_dual_axis_train_step_runs(tiny_spec):
     assert float(losses["total_loss"]) == pytest.approx(
         float(losses2["total_loss"]), rel=2e-4
     )
+
+
+def test_zero_opt_state_shardings_unit():
+    """parallel/zero.py leaf rules: first axis divisible by the 'data' size
+    is sharded; indivisible and scalar leaves stay replicated."""
+    import jax.numpy as jnp
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+    )
+
+    mesh = make_mesh(n_data=8)
+    tree = {
+        "conv_kernel": jnp.zeros((3, 3, 8, 16)),
+        "odd_bias": jnp.zeros((7,)),
+        "count": jnp.zeros((), jnp.int32),
+    }
+    sh = opt_state_shardings(tree, mesh)
+    assert sh["conv_kernel"].spec == jax.sharding.PartitionSpec(
+        None, None, "data"
+    )
+    assert sh["odd_bias"].spec == jax.sharding.PartitionSpec()
+    assert sh["count"].spec == jax.sharding.PartitionSpec()
+
+
+def test_zero_sharded_optimizer_parity(tiny_spec):
+    """ZeRO-1 (parallel.shard_optimizer): AdamW moments live 'data'-sharded
+    (1/N bytes per device), the step runs on the single-axis 8-device mesh,
+    and two steps of training match the unsharded trainer to partitioned-
+    reduction tolerance (CLAUDE.md)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+        shard_batch,
+    )
+
+    mesh = make_mesh(n_data=8)
+    model = MultiModal3DDetector(spec=tiny_spec)
+    trainer = Trainer(
+        model, TrainSpec(batch_size=8), CompatFlags(), mesh=mesh,
+        shard_optimizer=True,
+    )
+    batch = tiny_batch(batch_size=8)
+    trainer.init_state(batch)
+
+    # the initial placement shards at least the AdamW moment tensors
+    def sharded_leaves(opt_state):
+        out = []
+        for leaf in jax.tree_util.tree_leaves(opt_state):
+            if hasattr(leaf, "sharding") and any(
+                s == "data" for s in (leaf.sharding.spec or ())
+            ):
+                out.append(leaf)
+        return out
+
+    placed = sharded_leaves(trainer.state.opt_state)
+    assert placed, "no optimizer leaf got a 'data' sharding"
+    leaf = placed[0]
+    shard_shape = leaf.addressable_shards[0].data.shape
+    assert np.prod(shard_shape) == np.prod(leaf.shape) // 8
+
+    dev_batch = shard_batch(mesh, batch)
+    state = trainer.state
+    for _ in range(2):
+        state, losses = trainer.train_step(state, dev_batch, trainer.rng)
+    assert np.isfinite(float(losses["total_loss"]))
+    # the updated optimizer state keeps its ZeRO layout step-over-step
+    assert sharded_leaves(state.opt_state), "sharding lost after update"
+
+    # numeric parity vs the plain replicated-optimizer trainer
+    model2 = MultiModal3DDetector(spec=tiny_spec)
+    trainer2 = Trainer(model2, TrainSpec(batch_size=8), CompatFlags())
+    trainer2.init_state(batch)
+    state2 = trainer2.state
+    for _ in range(2):
+        state2, losses2 = trainer2.train_step(state2, batch, trainer2.rng)
+    assert float(losses["total_loss"]) == pytest.approx(
+        float(losses2["total_loss"]), rel=2e-4
+    )
+    p_sharded = jax.tree_util.tree_leaves(state.params)[0]
+    p_plain = jax.tree_util.tree_leaves(state2.params)[0]
+    # AdamW normalizes by sqrt(v)+eps, so a reassociated-float grad
+    # difference can move any element by up to ~lr (1e-4) per step — after
+    # 2 steps the trajectories agree to ~2*lr elementwise, not tighter
+    np.testing.assert_allclose(
+        np.asarray(p_sharded), np.asarray(p_plain), rtol=0, atol=5e-4
+    )

@@ -127,13 +127,22 @@ def main(config_path: str | None = None) -> None:
     trainer = Trainer(
         model, train_spec, compat, mesh=mesh,
         steps_per_epoch=len(train_loader),
+        # parallel.shard_optimizer: ZeRO-1 AdamW-moment sharding over 'data'
+        shard_optimizer=par.shard_optimizer,
         # debug.check_gradients (declared-but-dead in the reference,
         # configs/base.yaml:643): log pre-clip grad norm + finiteness
         check_gradients=(config.get("debug", {}) or {}).get(
             "check_gradients", False
         ),
     )
-    batch0 = next(iter(train_loader))
+    try:
+        batch0 = next(iter(train_loader))
+    except StopIteration:
+        raise SystemExit(
+            f"train loader produced no batches: {len(train_ds)} samples "
+            f"(per-process) < batch_size {train_spec.batch_size} with "
+            "drop_last — reduce train.batch_size or add data"
+        )
     trainer.init_state(batch0)
 
     start_epoch = 0
