@@ -672,6 +672,11 @@ class ParallelSpec:
     # bytes per chip; reduce-scatter/all-gather inserted by XLA —
     # parallel/zero.py)
     shard_optimizer: bool = False
+    # BEV spatial partitioning ('sp'): pin the fused (B, H, W, C) BEV map to
+    # P('data', 'view') so the fusion tail + detection head run spatially
+    # sharded over 'view' (XLA inserts conv halo exchanges). Needs
+    # view_parallel > 1 to have any effect.
+    bev_spatial: bool = False
     # multi-host: the TPU-native resurrection of the reference's dead
     # hardware.gpu.distributed block (enable/backend/world_size/rank,
     # ref: configs/base.yaml:617-624 — never read there). Coordinator /
@@ -720,6 +725,7 @@ class ParallelSpec:
             data_parallel=p.get("data_parallel", 1),
             view_parallel=p.get("view_parallel", 1),
             shard_optimizer=bool(p.get("shard_optimizer", False)),
+            bev_spatial=bool(p.get("bev_spatial", False)),
             multi_host=enable,
             coordinator_address=mh.get("coordinator_address"),
             num_processes=mh.get(

@@ -45,6 +45,14 @@ class MultiModal3DDetector(nn.Module):
     use_pallas_infer: bool = False
     # serving-graph camera BN folding (utils/fold_bn.py); inference-only
     fold_bn: bool = False
+    # BEV spatial partitioning ('sp'): a NamedSharding (e.g. P(None,'view') —
+    # spatial axis only; the batch axis propagates from the inputs) pinned
+    # onto the fused (B, H, W, C) BEV map so the fusion tail + head convs run
+    # spatially sharded — XLA SPMD inserts the halo exchanges for the 3x3
+    # convs (collective-permute over ICI). Set via parallel.bev_spatial
+    # (train_detect.py); None = no constraint. bev_h must divide by the
+    # sharded axis size.
+    bev_sharding: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -126,6 +134,11 @@ class MultiModal3DDetector(nn.Module):
             )(cam_feat, lidar_feat, radar_feat, train=train)
         else:
             raise ValueError(f"Unknown fusion type: {s.fusion_type}")
+
+        if self.bev_sharding is not None and fused.ndim == 4:
+            import jax
+
+            fused = jax.lax.with_sharding_constraint(fused, self.bev_sharding)
 
         if s.head_is_centernet:
             preds = CenterNetHead(

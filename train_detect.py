@@ -118,11 +118,30 @@ def main(config_path: str | None = None) -> None:
 
     import jax.numpy as jnp
 
+    bev_sharding = None
+    if mesh is not None and par.bev_spatial and mesh.shape.get("view", 1) > 1:
+        # 'sp': BEV map spatially sharded over 'view' for the fusion tail +
+        # head convs (XLA inserts the halo exchanges). Only the spatial axis
+        # is constrained — the batch axis sharding propagates from the
+        # inputs (and batch-1 init would violate 'data' divisibility).
+        n_view = mesh.shape["view"]
+        if spec.bev.bev_h % n_view == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bev_sharding = NamedSharding(mesh, P(None, "view"))
+        else:
+            print(
+                f"Warning: parallel.bev_spatial needs bev_h "
+                f"({spec.bev.bev_h}) divisible by view_parallel ({n_view}); "
+                "skipping the spatial constraint"
+            )
+
     model = MultiModal3DDetector(
         spec=spec,
         mask_padding=not compat.unmasked_point_padding,
         # bf16 compute with f32 params when train.mixed_precision is honored
         dtype=jnp.bfloat16 if train_spec.mixed_precision else jnp.float32,
+        bev_sharding=bev_sharding,
     )
     trainer = Trainer(
         model, train_spec, compat, mesh=mesh,
