@@ -307,6 +307,119 @@ def bench_trunk_stages(results):
         prev_flops = flops
 
 
+def bench_model_stages(results):
+    """End-to-end flagship attribution at b=32 bf16: per-submodule times
+    (camera/lidar/radar encoders, fusion, head, decode) alongside the full
+    forward+decode, so the non-trunk share of the inference budget is
+    measured rather than inferred (trunkstages covers inside the trunk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.encoders import (
+        MultiRadarEncoder,
+        PointNetLiDAREncoder,
+        ResNetCameraEncoder,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.fusion import (
+        FlexibleBEVFusion,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.heads import (
+        CenterNetHead,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+        decode_centernet_predictions,
+    )
+
+    cfg = load_config("configs/base.yaml")
+    spec = DetectorSpec.from_config(cfg)
+    compat = CompatFlags.from_config(cfg)
+    model = MultiModal3DDetector(spec=spec, dtype=jnp.bfloat16)
+
+    bs = 32
+    h, w = spec.camera.image_size
+    rs = np.random.RandomState(0)
+    cams = jnp.asarray(rs.randn(bs, 6, h, w, 3), jnp.bfloat16)
+    lidar = jnp.asarray(rs.randn(bs, spec.lidar.max_points, 4), jnp.bfloat16)
+    radars = jnp.asarray(
+        rs.randn(bs, spec.radar.num_radars, spec.radar.max_points_per_sensor, 7),
+        jnp.bfloat16,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, cams[:1], lidar[:1], radars[:1],
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def sub_vars(name):
+        v = {"params": params[name]}
+        if name in batch_stats:
+            v["batch_stats"] = batch_stats[name]
+        return v
+
+    cam_enc = ResNetCameraEncoder(spec=spec.camera, dtype=jnp.bfloat16)
+    lid_enc = PointNetLiDAREncoder(spec=spec.lidar, dtype=jnp.bfloat16)
+    rad_enc = MultiRadarEncoder(spec=spec.radar, dtype=jnp.bfloat16)
+    fusion = FlexibleBEVFusion(spec=spec.bev, dtype=jnp.bfloat16)
+    head = CenterNetHead(spec=spec.centernet, dtype=jnp.bfloat16)
+
+    cam_fn = jax.jit(lambda v, x: cam_enc.apply(v, x, train=False))
+    lid_fn = jax.jit(lambda v, x: lid_enc.apply(v, x, train=False))
+    rad_fn = jax.jit(lambda v, x: rad_enc.apply(v, x, train=False))
+    cam_feat = cam_fn(sub_vars("camera_encoder"), cams)
+    lid_feat = lid_fn(sub_vars("lidar_encoder"), lidar)
+    rad_feat = rad_fn(sub_vars("radar_encoder"), radars)
+    fus_fn = jax.jit(
+        lambda v, c, l, r: fusion.apply(v, c, l, r, train=False)
+    )
+    fused = fus_fn(sub_vars("fusion"), cam_feat, lid_feat, rad_feat)
+    head_fn = jax.jit(lambda v, x: head.apply(v, x, train=False))
+    preds = head_fn(sub_vars("det_head"), fused)
+
+    fwd_fn = jax.jit(
+        lambda v, c, l, r: model.apply(v, c, l, r, train=False)
+    )
+
+    def full(v, c, l, r):
+        p = model.apply(v, c, l, r, train=False)
+        return decode_centernet_predictions(
+            p,
+            max_detections=spec.centernet.max_detections,
+            voxel_size=2.048,
+            pc_range=spec.bev.pc_range,
+            class_always_zero=compat.decode_class_always_zero,
+        )
+
+    full_fn = jax.jit(full)
+
+    stages = {
+        "camera_encoder": (cam_fn, (sub_vars("camera_encoder"), cams)),
+        "lidar_encoder": (lid_fn, (sub_vars("lidar_encoder"), lidar)),
+        "radar_encoder": (rad_fn, (sub_vars("radar_encoder"), radars)),
+        "fusion": (fus_fn, (sub_vars("fusion"), cam_feat, lid_feat, rad_feat)),
+        "head": (head_fn, (sub_vars("det_head"), fused)),
+        "forward": (fwd_fn, (variables, cams, lidar, radars)),
+        "forward+decode": (full_fn, (variables, cams, lidar, radars)),
+    }
+    total = None
+    for name, (fn, args) in stages.items():
+        ms = _time(fn, *args) * 1e3
+        results[f"model_{name}_ms_b{bs}"] = ms
+        print(f"# {name}: {ms:.2f} ms at b={bs}")
+        if name == "forward+decode":
+            total = ms
+    if total:
+        print(f"# -> {bs / (total / 1e3):.1f} samples/s end-to-end")
+
+
 def bench_train(results):
     """Full jitted train step (fwd + on-device targets + loss + grads +
     AdamW + clip) at production shapes, device-resident batch, b=8,
@@ -404,6 +517,8 @@ def main():
         bench_foldbn(results)
     if "trunkstages" in which:
         bench_trunk_stages(results)
+    if "modelstages" in which:
+        bench_model_stages(results)
     if "train" in which:
         bench_train(results)
     print(json.dumps(results, indent=2))

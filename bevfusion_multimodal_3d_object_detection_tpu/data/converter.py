@@ -143,24 +143,32 @@ class ConfigDrivenNuScenesConverter:
         self.radar_num_sweeps = d.get("radar_num_sweeps", 1)
         self.out_dir = Path(self.data_root)
 
-        try:
-            from nuscenes.nuscenes import NuScenes  # lazy: not baked in
-        except ImportError as e:  # pragma: no cover - env without devkit
-            raise ImportError(
-                "data conversion requires the `nuscenes-devkit` package "
-                "(pip install nuscenes-devkit) and a local nuScenes download; "
-                "converted pickles from any source with the same schema also "
-                "work directly."
-            ) from e
-
-        self.nusc = NuScenes(
-            version=self.version, dataroot=self.data_root, verbose=True
-        )
+        # devkit init is deferred to first data access so config-only
+        # operations (--show-config) work without the devkit installed
+        # (the reference fails at module import there, data_converter.py:15)
+        self._nusc = None
         print("Configuration loaded successfully!")
         print(f"Dataset: {d.get('name', 'nuscenes')} {self.version}")
         print(f"Classes: {len(self.classes)} classes")
         print(f"Cameras: {len(self.camera_types)}")
         print(f"Radars: {len(self.radar_types)}")
+
+    @property
+    def nusc(self):
+        if self._nusc is None:
+            try:
+                from nuscenes.nuscenes import NuScenes  # lazy: not baked in
+            except ImportError as e:  # pragma: no cover - env without devkit
+                raise ImportError(
+                    "data conversion requires the `nuscenes-devkit` package "
+                    "(pip install nuscenes-devkit) and a local nuScenes "
+                    "download; converted pickles from any source with the "
+                    "same schema also work directly."
+                ) from e
+            self._nusc = NuScenes(
+                version=self.version, dataroot=self.data_root, verbose=True
+            )
+        return self._nusc
 
     # -- per-sample extraction -------------------------------------------------
     def get_sample_data(self, sample_token: str) -> Dict:
