@@ -371,20 +371,41 @@ def bench_model_stages(results):
     fusion = FlexibleBEVFusion(spec=spec.bev, dtype=jnp.bfloat16)
     head = CenterNetHead(spec=spec.centernet, dtype=jnp.bfloat16)
 
-    cam_fn = jax.jit(lambda v, x: cam_enc.apply(v, x, train=False))
-    lid_fn = jax.jit(lambda v, x: lid_enc.apply(v, x, train=False))
-    rad_fn = jax.jit(lambda v, x: rad_enc.apply(v, x, train=False))
-    cam_feat = cam_fn(sub_vars("camera_encoder"), cams)
-    lid_feat = lid_fn(sub_vars("lidar_encoder"), lidar)
-    rad_feat = rad_fn(sub_vars("radar_encoder"), radars)
-    fus_fn = jax.jit(
+    def scalarized(fn):
+        # reduce to ONE scalar inside the jit: timing must transfer a tiny
+        # output, never the full activation (the tunnel is ~60 MB/s and
+        # would dominate any measurement — CLAUDE.md)
+        def wrapped(*args):
+            out = fn(*args)
+            return sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+
+        return jax.jit(wrapped)
+
+    cam_fn = scalarized(lambda v, x: cam_enc.apply(v, x, train=False))
+    lid_fn = scalarized(lambda v, x: lid_enc.apply(v, x, train=False))
+    rad_fn = scalarized(lambda v, x: rad_enc.apply(v, x, train=False))
+    # features for the fusion/head stage inputs (device-resident)
+    cam_feat = jax.jit(lambda v, x: cam_enc.apply(v, x, train=False))(
+        sub_vars("camera_encoder"), cams
+    )
+    lid_feat = jax.jit(lambda v, x: lid_enc.apply(v, x, train=False))(
+        sub_vars("lidar_encoder"), lidar
+    )
+    rad_feat = jax.jit(lambda v, x: rad_enc.apply(v, x, train=False))(
+        sub_vars("radar_encoder"), radars
+    )
+    fus_fn = scalarized(
         lambda v, c, l, r: fusion.apply(v, c, l, r, train=False)
     )
-    fused = fus_fn(sub_vars("fusion"), cam_feat, lid_feat, rad_feat)
-    head_fn = jax.jit(lambda v, x: head.apply(v, x, train=False))
-    preds = head_fn(sub_vars("det_head"), fused)
+    fused = jax.jit(
+        lambda v, c, l, r: fusion.apply(v, c, l, r, train=False)
+    )(sub_vars("fusion"), cam_feat, lid_feat, rad_feat)
+    head_fn = scalarized(lambda v, x: head.apply(v, x, train=False))
 
-    fwd_fn = jax.jit(
+    fwd_fn = scalarized(
         lambda v, c, l, r: model.apply(v, c, l, r, train=False)
     )
 
@@ -398,7 +419,7 @@ def bench_model_stages(results):
             class_always_zero=compat.decode_class_always_zero,
         )
 
-    full_fn = jax.jit(full)
+    full_fn = scalarized(full)
 
     stages = {
         "camera_encoder": (cam_fn, (sub_vars("camera_encoder"), cams)),

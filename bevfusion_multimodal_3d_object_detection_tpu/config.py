@@ -143,12 +143,43 @@ class CompatFlags:
     # reference behavior; True = proper (b+sqrt(b^2-4ac))/(2a) roots. Differs
     # only for large boxes on fine grids.
     corrected_gaussian_radius: bool = False
+    # Q16-family: the reference declares val/test.post_processing
+    # (score_threshold, nms_threshold, max_detections; configs/base.yaml:
+    # 393-396, 416-419) but never reads it — eval hardcodes thresh 0.0
+    # (eval.py:60) and inference 0.3 (inference.py:80). True = reference
+    # behavior (keys ignored); False = honor the YAML block: score
+    # threshold, host-side greedy BEV NMS (ops/decode.py:nms_bev), and the
+    # max_detections cap on the eval/inference paths.
+    ignore_post_processing_config: bool = True
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "CompatFlags":
         c = _get(cfg, "compat", default={}) or {}
         fields = {f.name for f in dataclasses.fields(CompatFlags)}
         return CompatFlags(**{k: v for k, v in c.items() if k in fields})
+
+
+@dataclass(frozen=True)
+class PostProcessSpec:
+    """val/test.post_processing — declared-but-dead in the reference
+    (configs/base.yaml:393-396, 416-419); honored here when
+    compat.ignore_post_processing_config is False. Defaults mirror the
+    reference YAML values."""
+
+    score_threshold: float = 0.3
+    nms_threshold: float = 0.5
+    max_detections: int = 100
+
+    @staticmethod
+    def from_config(
+        cfg: Optional[Dict], section: str = "val"
+    ) -> "PostProcessSpec":
+        p = _get(cfg, section, "post_processing", default={}) or {}
+        return PostProcessSpec(
+            score_threshold=float(p.get("score_threshold", 0.3)),
+            nms_threshold=float(p.get("nms_threshold", 0.5)),
+            max_detections=int(p.get("max_detections", 100)),
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,17 @@ class InferenceEngine:
             )
         )
         self.score_threshold = score_threshold
+        # resurrected test.post_processing (declared-but-dead upstream,
+        # configs/base.yaml:416-419): score threshold + greedy BEV NMS +
+        # max_detections cap, behind compat.ignore_post_processing_config
+        self.post_process = None
+        if not self.compat.ignore_post_processing_config:
+            from .config import PostProcessSpec
+
+            self.post_process = PostProcessSpec.from_config(
+                self.config, "test"
+            )
+            self.score_threshold = self.post_process.score_threshold
         inference_cfg = self.config.get("inference", {}) or {}
         self.save_predictions = bool(
             inference_cfg.get("save_predictions", True)
@@ -256,7 +267,20 @@ class InferenceEngine:
                 pc_range=self.spec.bev.pc_range,
                 class_always_zero=self.compat.decode_class_always_zero,
             )
-            dets = decode_to_host(decoded, score_thresh=self.score_threshold)[0]
+            dets = decode_to_host(
+                decoded,
+                score_thresh=self.score_threshold,
+                nms_thresh=(
+                    self.post_process.nms_threshold
+                    if self.post_process
+                    else None
+                ),
+                max_detections=(
+                    self.post_process.max_detections
+                    if self.post_process
+                    else None
+                ),
+            )[0]
         else:
             cls = np.asarray(preds["cls"][0])
             box = np.asarray(preds["box"][0])

@@ -146,11 +146,71 @@ def decode_centernet_predictions(
     }
 
 
+def bev_iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Axis-aligned BEV IoU matrix between (N, 7+) and (M, 7+) box arrays
+    ((x, y, z, w, l, h, yaw) — yaw ignored, same simplification as the
+    reference evaluation's center-distance matching, utils_v2.py)."""
+    ax1 = boxes_a[:, 0] - boxes_a[:, 3] / 2
+    ay1 = boxes_a[:, 1] - boxes_a[:, 4] / 2
+    ax2 = boxes_a[:, 0] + boxes_a[:, 3] / 2
+    ay2 = boxes_a[:, 1] + boxes_a[:, 4] / 2
+    bx1 = boxes_b[:, 0] - boxes_b[:, 3] / 2
+    by1 = boxes_b[:, 1] - boxes_b[:, 4] / 2
+    bx2 = boxes_b[:, 0] + boxes_b[:, 3] / 2
+    by2 = boxes_b[:, 1] + boxes_b[:, 4] / 2
+    ix = np.maximum(
+        0.0,
+        np.minimum(ax2[:, None], bx2[None, :])
+        - np.maximum(ax1[:, None], bx1[None, :]),
+    )
+    iy = np.maximum(
+        0.0,
+        np.minimum(ay2[:, None], by2[None, :])
+        - np.maximum(ay1[:, None], by1[None, :]),
+    )
+    inter = ix * iy
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def nms_bev(det: Dict[str, np.ndarray], iou_thresh: float) -> Dict[str, np.ndarray]:
+    """Greedy axis-aligned BEV NMS on one decode_to_host sample dict.
+
+    Implements the reference's declared-but-dead
+    `val/test.post_processing.nms_threshold` key (ref: configs/base.yaml:393,
+    416 — never read; the reference's only NMS is the decode-time 3x3
+    heatmap maxpool). Detections arrive score-sorted from the decode top-K;
+    the sort here keeps that robust to callers."""
+    boxes, scores = det["boxes"], det["scores"]
+    n = len(scores)
+    if n <= 1:
+        return det
+    order = np.argsort(-scores, kind="stable")
+    iou = bev_iou_matrix(boxes[order], boxes[order])
+    keep_sorted = np.ones(n, bool)
+    for i in range(n):
+        if keep_sorted[i]:
+            keep_sorted[i + 1:] &= iou[i, i + 1:] < iou_thresh
+    keep = order[keep_sorted]
+    keep.sort()  # preserve original (score-descending) ordering
+    return {k: v[keep] for k, v in det.items()}
+
+
 def decode_to_host(
-    decoded: Dict[str, jnp.ndarray], score_thresh: float = 0.3
+    decoded: Dict[str, jnp.ndarray],
+    score_thresh: float = 0.3,
+    nms_thresh: float = None,
+    max_detections: int = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Convert fixed-size decode output to the reference's per-sample
-    list-of-dicts with score filtering (ref: centernet_target.py:357-411)."""
+    list-of-dicts with score filtering (ref: centernet_target.py:357-411).
+
+    `nms_thresh` / `max_detections` implement the reference's declared-but-
+    dead val/test.post_processing keys (configs/base.yaml:393-396) behind
+    compat.ignore_post_processing_config=False; the defaults keep reference
+    behavior (no IoU NMS, decode top-K only)."""
     boxes = np.asarray(decoded["boxes"])
     scores = np.asarray(decoded["scores"])
     labels = np.asarray(decoded["labels"])
@@ -159,12 +219,15 @@ def decode_to_host(
     out = []
     for bi in range(boxes.shape[0]):
         m = scores[bi] > score_thresh
-        out.append(
-            {
-                "boxes": boxes[bi][m],
-                "scores": scores[bi][m],
-                "labels": labels[bi][m].astype(np.int64),
-                "velocities": vels[bi][m],
-            }
-        )
+        det = {
+            "boxes": boxes[bi][m],
+            "scores": scores[bi][m],
+            "labels": labels[bi][m].astype(np.int64),
+            "velocities": vels[bi][m],
+        }
+        if nms_thresh is not None:
+            det = nms_bev(det, nms_thresh)
+        if max_detections is not None and len(det["scores"]) > max_detections:
+            det = {k: v[:max_detections] for k, v in det.items()}
+        out.append(det)
     return out

@@ -382,18 +382,32 @@ class Trainer:
             log_fh.close()
         return total / max(count, 1)
 
-    def evaluate(self, loader, score_thresh: float = 0.0) -> Dict:
+    def evaluate(self, loader, score_thresh: float = 0.0, post_process=None) -> Dict:
         """Validation pass: decode + metrics (training-eval decode variant
         with score_thresh 0.0, ref: train_detect.py:500-536; the MLP head
         contributes its single argmax/softmax box per sample,
-        ref: train_detect.py:537-556)."""
+        ref: train_detect.py:537-556).
+
+        `post_process`: a PostProcessSpec honoring the reference's
+        declared-but-dead val.post_processing block (score threshold +
+        greedy BEV NMS + max_detections cap) when
+        compat.ignore_post_processing_config is False; overrides
+        `score_thresh`."""
         assert self.state is not None
         predictions, ground_truths = [], []
         for batch in loader:
             dev_batch = self._device_batch(batch)
             decoded = self.eval_step(self.state, dev_batch)
             if self.spec.head_is_centernet:
-                dets = decode_to_host(decoded, score_thresh=score_thresh)
+                if post_process is not None:
+                    dets = decode_to_host(
+                        decoded,
+                        score_thresh=post_process.score_threshold,
+                        nms_thresh=post_process.nms_threshold,
+                        max_detections=post_process.max_detections,
+                    )
+                else:
+                    dets = decode_to_host(decoded, score_thresh=score_thresh)
                 predictions.extend(dets)
             else:
                 cls = np.asarray(decoded["cls"])

@@ -107,13 +107,31 @@ def main(config_path: str | None = None) -> dict:
     # eval-path decode variant (Q3: voxel 0.512), score_thresh 0.0 (Q16)
     eval_step = make_eval_step(model, compat, eval_path_decode=True)
 
+    # resurrected val.post_processing (score threshold + BEV NMS + cap;
+    # declared-but-dead in the reference) behind the compat switch
+    pp = None
+    if not compat.ignore_post_processing_config:
+        from bevfusion_multimodal_3d_object_detection_tpu.config import (
+            PostProcessSpec,
+        )
+
+        pp = PostProcessSpec.from_config(loader_config or model_config, "val")
+
     predictions, ground_truths = [], []
     for batch in val_loader:
         arrays = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
         decoded = eval_step(trainer.state, arrays)
-        dets = decode_to_host(decoded, score_thresh=0.0)
+        if pp is None:
+            dets = decode_to_host(decoded, score_thresh=0.0)  # Q16
+        else:
+            dets = decode_to_host(
+                decoded,
+                score_thresh=pp.score_threshold,
+                nms_thresh=pp.nms_threshold,
+                max_detections=pp.max_detections,
+            )
         predictions.extend(dets)
         for bi in range(len(dets)):
             ground_truths.append(

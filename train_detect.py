@@ -273,7 +273,16 @@ def main(config_path: str | None = None) -> None:
                         shutil.rmtree(old)
                     else:
                         old.unlink()
-        metrics = trainer.evaluate(val_loader)
+        # val.post_processing honored behind the compat switch (score
+        # threshold + BEV NMS + cap; reference declares but never reads it)
+        pp = None
+        if not compat.ignore_post_processing_config:
+            from bevfusion_multimodal_3d_object_detection_tpu.config import (
+                PostProcessSpec,
+            )
+
+            pp = PostProcessSpec.from_config(config, "val")
+        metrics = trainer.evaluate(val_loader, post_process=pp)
         if multi_host:
             # each host evaluated its val-split slice; average the scalar
             # metrics across processes (per-class lists stay host-local)
