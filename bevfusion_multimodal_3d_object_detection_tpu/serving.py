@@ -58,6 +58,16 @@ class InferenceServer:
         self.batch_size = batch_size
         self.max_delay_s = max_delay_ms / 1000.0
         self.score_threshold = score_threshold
+        # resurrected test.post_processing (compat switch; ops/decode.py):
+        # config score threshold + greedy BEV NMS + max_detections cap
+        self.post_process = None
+        if not self.compat.ignore_post_processing_config:
+            from .config import PostProcessSpec
+
+            self.post_process = PostProcessSpec.from_config(
+                self.config, "test"
+            )
+            self.score_threshold = self.post_process.score_threshold
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
 
         self.model = MultiModal3DDetector(
@@ -392,13 +402,19 @@ class InferenceServer:
         results = []
         for i in range(n):
             keep = scores[i] > self.score_threshold
-            results.append(
-                {
-                    "boxes": boxes[i][keep],
-                    "scores": scores[i][keep],
-                    "labels": labels[i][keep],
-                }
-            )
+            res = {
+                "boxes": boxes[i][keep],
+                "scores": scores[i][keep],
+                "labels": labels[i][keep],
+            }
+            if self.post_process is not None:
+                from .ops.decode import nms_bev
+
+                res = nms_bev(res, self.post_process.nms_threshold)
+                cap = self.post_process.max_detections
+                if len(res["scores"]) > cap:
+                    res = {k: v[:cap] for k, v in res.items()}
+            results.append(res)
         return results
 
     def _run_batch(self, samples: List[Dict]) -> List[Dict]:
