@@ -38,7 +38,11 @@ REPO = Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / "bench_baseline.json"
 
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 600.0))
-ATTEMPT_STARTUP_TIMEOUT_S = 150.0  # no RESULT yet and silent -> kill+retry
+# no PHASE/RESULT line yet within this window -> the child's MAIN thread is
+# hung (dead-tunnel backend init) -> kill + respawn with backoff. Heartbeats
+# intentionally do NOT count: they come from a daemon thread and keep
+# flowing while the main thread hangs.
+ATTEMPT_STARTUP_TIMEOUT_S = 240.0
 METRIC = (
     "tri-modal inference samples/sec (1 TPU chip, bf16, "
     "forward + on-device decode)"
@@ -59,9 +63,13 @@ def get_cpu_baseline():
 def child_main(deadline_s: float) -> None:
     import threading
 
-    # liveness heartbeat on STDOUT: backend init + first compile can be
-    # silent for minutes; the parent kills a child with no stdout activity
-    # (its stall detector), so tick while working
+    # liveness heartbeat on STDOUT: long compiles are silent for minutes and
+    # must not be treated as hangs. Heartbeats are printed from a daemon
+    # thread, so they do NOT prove the main thread is alive — the parent's
+    # stall detector therefore keys on the PHASE lines below (printed from
+    # the MAIN thread), not on heartbeats: a child whose main thread hangs
+    # in backend init on a dead tunnel stops producing phases and is killed
+    # + respawned.
     stop_hb = threading.Event()
 
     def _hb():
@@ -80,7 +88,9 @@ def child_main(deadline_s: float) -> None:
     import jax
     import jax.numpy as jnp
 
-    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
+    devices = jax.devices()  # backend init: hangs here when the tunnel died
+    print("PHASE devices-ok", flush=True)
+    print(f"# devices: {devices}", file=sys.stderr, flush=True)
 
     from bevfusion_multimodal_3d_object_detection_tpu.config import (
         CompatFlags,
@@ -277,7 +287,12 @@ class Reporter:
     def finalize(self) -> None:
         if not self.finalized:
             self.finalized = True
-            print(json.dumps(self._payload()), flush=True)
+            # single atomic write with a LEADING newline: finalize() can run
+            # from the SIGTERM handler between the bytecodes of a record()
+            # print, and the final line must stay parseable even if it lands
+            # mid-line (the r02 failure mode)
+            payload = json.dumps(self._payload())
+            os.write(1, ("\n" + payload + "\n").encode())
 
 
 def main() -> None:
@@ -309,19 +324,23 @@ def main() -> None:
             bufsize=1,
         )
         got_any = False
-        last_line_t = time.monotonic()
+        got_phase = False
+        last_progress_t = time.monotonic()
         while True:
             if time.monotonic() > deadline:
                 proc.kill()
                 break
-            # no result and silent too long -> backend init is probably hung
-            # on the dead tunnel; kill and retry
+            # main thread produced no PHASE/RESULT line -> backend init is
+            # hung on the dead tunnel; kill and retry (heartbeats don't
+            # count, see ATTEMPT_STARTUP_TIMEOUT_S)
             if (
                 not got_any
-                and time.monotonic() - last_line_t > ATTEMPT_STARTUP_TIMEOUT_S
+                and not got_phase
+                and time.monotonic() - last_progress_t
+                > ATTEMPT_STARTUP_TIMEOUT_S
             ):
                 print(
-                    f"# attempt {attempt}: no output for "
+                    f"# attempt {attempt}: no main-thread progress for "
                     f"{ATTEMPT_STARTUP_TIMEOUT_S:.0f}s, killing child",
                     file=sys.stderr, flush=True,
                 )
@@ -330,9 +349,12 @@ def main() -> None:
             line = _readline_with_timeout(proc, 5.0)
             if line is None:  # EOF: child exited
                 break
-            if not line:
+            if not line or line.startswith("HEARTBEAT"):
                 continue
-            last_line_t = time.monotonic()
+            last_progress_t = time.monotonic()
+            if line.startswith("PHASE "):
+                got_phase = True
+                continue
             if line.startswith("RESULT "):
                 got_any = True
                 try:

@@ -111,18 +111,33 @@ class InferenceClient:
                 if 400 <= e.code < 500:
                     raise ClientError(e.code, msg) from None
                 last = ServerError(e.code, msg)
-                if e.code != 503:  # 500s are not known-transient
+                # 503 = unavailable (drain/stop): safe to retry. 504 = the
+                # inference WAS accepted and timed out; 500 = unknown server
+                # fault — retrying either can duplicate device work.
+                if e.code != 503:
                     raise last from None
-            except (urllib.error.URLError, TimeoutError, OSError) as e:
-                last = e  # connection refused/reset, DNS, timeout: transient
+            except TimeoutError as e:
+                # socket timeout: a POST may have been accepted and still be
+                # in flight — retrying duplicates work; only GETs retry
+                if data is not None:
+                    raise
+                last = e
+            except (urllib.error.URLError, OSError) as e:
+                if isinstance(getattr(e, "reason", None), TimeoutError) and (
+                    data is not None
+                ):
+                    raise  # same: timed-out POST is not safely retryable
+                last = e  # connection refused/reset, DNS: transient
         raise last
 
     # -- API ---------------------------------------------------------------
 
     def infer(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """One sample -> {"boxes": (K, 9) f32, "scores": (K,) f32,
-        "labels": (K,) i32}. Retries only on transport errors / 503 —
-        NOT on an inference that was accepted (no duplicated work)."""
+        "labels": (K,) i32}. Retries only connection failures and 503
+        (server draining/stopped) — NOT 504 (inference accepted but timed
+        out), 500, or a socket timeout mid-POST, all of which may duplicate
+        accepted work."""
         out = self._request("/infer", data=encode_npz(sample))
         return {
             "boxes": np.asarray(out["boxes"], np.float32),

@@ -151,8 +151,13 @@ class NuScenesDataset:
             )
             if bev_cfg.get("camera_to_bev", "pseudo") == "geometric":
                 return_camera_cells = True
+                # chunk plans feed the fused Pallas splat, an INFERENCE-only
+                # path (the module falls back to matmul when train=True) —
+                # emitting them for the train split would ship multi-MB of
+                # dead int32 arrays to the device every step
                 return_camera_chunks = (
                     bev_cfg.get("splat_mode", "matmul") == "pallas"
+                    and split != "train"
                 )
                 dataset_cfg = config.get("dataset", {}) or {}
                 bev_h = bev_cfg.get("bev_h", dataset_cfg.get("bev_h", 50))

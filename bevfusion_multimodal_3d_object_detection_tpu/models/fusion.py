@@ -103,10 +103,15 @@ class GeometricCameraBEV(nn.Module):
             # in HBM (ops/bev_pool_pallas.bev_pool_weighted). Inference-only
             # (no VJP); the train step falls through to the matmul path
             # (identical math, float-summation order only).
-            from ..ops.bev_pool_pallas import _round_up
+            from ..ops.bev_pool_pallas import DEFAULT_WINDOW, _round_up
 
             pi, li, bi = camera_chunks
-            nc_pad = _round_up(max(s.bev_h * s.bev_w, 256), 256)
+            # must equal precompute_bev_chunks' num_cells_pad: the plan's
+            # block_idx indexes output blocks of height DEFAULT_WINDOW, so
+            # both sides derive the padding from the same constant
+            nc_pad = _round_up(
+                max(s.bev_h * s.bev_w, DEFAULT_WINDOW), DEFAULT_WINDOW
+            )
             bev = lift_splat_pallas_rows(
                 feat,
                 depth_logits,

@@ -47,6 +47,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Output-block height of the chunked Pallas splat kernels AND the window
+# size of the chunk plans that index them: the plan's block_idx values are
+# ONLY valid for a kernel compiled with the SAME window, so every default
+# below (and any caller that pads num_cells itself, e.g.
+# models/fusion.py:GeometricCameraBEV) must use this constant.
+DEFAULT_WINDOW = 256
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -55,7 +63,7 @@ def precompute_bev_chunks(
     cell_ids: np.ndarray,
     num_cells: int,
     chunk_points: int = 256,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
 ) -> Dict[str, np.ndarray]:
     """Host-side chunking of one camera-row's frustum cell ids.
 
@@ -163,7 +171,7 @@ def bev_pool_weighted(
     block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Weighted BEV pool — the fused lift-splat for one camera row.
@@ -230,7 +238,7 @@ def bev_pool_weighted_rows(
     block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched rows: features (X, HW, C), weights (X, P), plans
@@ -286,7 +294,7 @@ def bev_pool_sorted(
     block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One camera-row BEV pool: (P, C) unsorted lifted features + chunk plan
@@ -339,7 +347,7 @@ def bev_pool_rows(
     block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched rows: features (X, P, C), plans (X, n_chunks, ...)

@@ -181,8 +181,9 @@ def nms_bev(det: Dict[str, np.ndarray], iou_thresh: float) -> Dict[str, np.ndarr
     Implements the reference's declared-but-dead
     `val/test.post_processing.nms_threshold` key (ref: configs/base.yaml:393,
     416 — never read; the reference's only NMS is the decode-time 3x3
-    heatmap maxpool). Detections arrive score-sorted from the decode top-K;
-    the sort here keeps that robust to callers."""
+    heatmap maxpool). The result is SCORE-DESCENDING regardless of input
+    order, so a downstream `[:max_detections]` cap always keeps the
+    top-scored survivors."""
     boxes, scores = det["boxes"], det["scores"]
     n = len(scores)
     if n <= 1:
@@ -193,8 +194,7 @@ def nms_bev(det: Dict[str, np.ndarray], iou_thresh: float) -> Dict[str, np.ndarr
     for i in range(n):
         if keep_sorted[i]:
             keep_sorted[i + 1:] &= iou[i, i + 1:] < iou_thresh
-    keep = order[keep_sorted]
-    keep.sort()  # preserve original (score-descending) ordering
+    keep = order[keep_sorted]  # already score-descending
     return {k: v[keep] for k, v in det.items()}
 
 

@@ -32,6 +32,12 @@ import numpy as np
 from .config import CompatFlags, DetectorSpec, load_config
 
 
+class ServerStoppedError(RuntimeError):
+    """The InferenceServer is stopped / draining — requests are
+    unavailability (HTTP 503, retryable), not internal errors. A dedicated
+    type so the HTTP layer never classifies by message text."""
+
+
 class InferenceServer:
     def __init__(
         self,
@@ -174,7 +180,7 @@ class InferenceServer:
                 except queue.Empty:
                     break
                 if not fut.done():
-                    fut.set_exception(RuntimeError("InferenceServer stopped"))
+                    fut.set_exception(ServerStoppedError("InferenceServer stopped"))
 
     def __enter__(self):
         return self.start()
@@ -194,7 +200,7 @@ class InferenceServer:
         fut: Future = Future()
         with self._submit_lock:
             if self._stop.is_set():
-                raise RuntimeError("InferenceServer stopped")
+                raise ServerStoppedError("InferenceServer stopped")
             self._queue.put((sample, fut, time.perf_counter()))
         return fut
 
@@ -531,14 +537,15 @@ def make_http_server(
                 # malformed request: parse / shape-contract errors
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except TimeoutError:
-                self._reply(503, {"error": "inference timed out"})
-            except RuntimeError as e:
-                # server lifecycle errors (e.g. "InferenceServer stopped")
-                # are unavailability, not client faults — and internals must
-                # not leak in the body
-                code = 503 if "stopped" in str(e).lower() else 500
-                self._reply(code, {"error": "server unavailable"
-                                   if code == 503 else "internal error"})
+                # the inference WAS accepted and may still complete — 504 so
+                # clients do not retry (at-most-once; retrying would double
+                # device work exactly when the server is overloaded)
+                self._reply(504, {"error": "inference timed out"})
+            except ServerStoppedError:
+                # unavailability (drain/stop): retryable, no internals leak
+                self._reply(503, {"error": "server unavailable"})
+            except RuntimeError:
+                self._reply(500, {"error": "internal error"})
             except Exception:
                 self._reply(500, {"error": "internal error"})
 

@@ -351,6 +351,15 @@ class Trainer:
         log_fh = open(log_file, "a") if log_file else None
         for i, batch in enumerate(loader):
             t0 = time.perf_counter()
+            # Pallas-splat chunk plans are inference-only (the module ignores
+            # them when train=True) — never ship them into the train step
+            batch = {
+                k: v
+                for k, v in batch.items()
+                if k not in (
+                    "camera_point_idx", "camera_local_ids", "camera_block_idx"
+                )
+            }
             batch = self._device_batch(batch)
             self.state, losses = self.train_step(self.state, batch, self.rng)
             loss = float(losses["total_loss"])

@@ -108,13 +108,18 @@ def main(config_path: str | None = None) -> dict:
     eval_step = make_eval_step(model, compat, eval_path_decode=True)
 
     # resurrected val.post_processing (score threshold + BEV NMS + cap;
-    # declared-but-dead in the reference) behind the compat switch
-    pp = None
-    if not compat.ignore_post_processing_config:
-        from bevfusion_multimodal_3d_object_detection_tpu.config import (
-            PostProcessSpec,
-        )
+    # declared-but-dead in the reference) behind the compat switch. The
+    # gate AND the values both come from the USER's config (argv[2]) — the
+    # Q10 hardcoded model_config only governs model construction — so the
+    # same config enables this consistently across eval.py/train_detect.py.
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags as _CF,
+        PostProcessSpec,
+    )
 
+    pp_compat = _CF.from_config(loader_config or model_config)
+    pp = None
+    if not pp_compat.ignore_post_processing_config:
         pp = PostProcessSpec.from_config(loader_config or model_config, "val")
 
     predictions, ground_truths = [], []

@@ -84,11 +84,22 @@ def main() -> None:
         import signal
         import threading
 
+        def _forced_exit():
+            # the drain TIMED OUT: in-flight requests were dropped and the
+            # InferenceServer never cleaned up — report failure (nonzero) so
+            # supervisors alert instead of recording a clean shutdown
+            print(
+                f"drain did not finish within {args.drain_timeout:.0f}s; "
+                "forcing exit (requests dropped)",
+                flush=True,
+            )
+            os._exit(1)
+
         def _drain(signum, frame):
             print(f"Signal {signum}: draining in-flight requests "
                   f"(timeout {args.drain_timeout:.0f}s)")
             threading.Thread(target=httpd.shutdown, daemon=True).start()
-            t = threading.Timer(args.drain_timeout, os._exit, args=(0,))
+            t = threading.Timer(args.drain_timeout, _forced_exit)
             t.daemon = True
             t.start()
 
