@@ -142,22 +142,27 @@ def child_main(deadline_s: float) -> None:
         # experimental tunneled platform)
         return float(np.asarray(out["scores"]).sum())
 
-    rs = np.random.RandomState(0)
     got_one = False
     # b=32 first: cheapest good compile on a COLD cache (a first number in
     # the bank beats everything), then b=64 (the best-known config,
-    # ARCHITECTURE.md r02: 532 samples/s), then b=8
-    for bs in (32, 64, 8):
-        if got_one and time.monotonic() > deadline_s:
-            print(f"# budget: skipping batch={bs}", file=sys.stderr, flush=True)
-            continue
+    # ARCHITECTURE.md r02: 532 samples/s). The train-step measurement runs
+    # BEFORE the b=8 tail so the driver-verifiable train number (VERDICT r02
+    # item 7) outranks a third inference point when budget runs short.
+    def measure_infer(bs: int) -> bool:
         try:
-            cams = jnp.asarray(rs.randn(bs, 6, h, w, 3), jnp.bfloat16)
-            lidar = jnp.asarray(
-                rs.randn(bs, spec.lidar.max_points, 4), jnp.bfloat16
+            # inputs are generated ON DEVICE: a host randn at b=64 is 5.5 GB
+            # of float64 plus a ~1.4 GB transfer over the ~60 MB/s tunnel —
+            # minutes of harness overhead per batch size that starved the
+            # train measurement out of the driver budget
+            k = jax.random.PRNGKey(bs)
+            kc, kl, kr = jax.random.split(k, 3)
+            cams = jax.random.normal(kc, (bs, 6, h, w, 3), jnp.bfloat16)
+            lidar = jax.random.normal(
+                kl, (bs, spec.lidar.max_points, 4), jnp.bfloat16
             )
-            radars = jnp.asarray(
-                rs.randn(
+            radars = jax.random.normal(
+                kr,
+                (
                     bs, spec.radar.num_radars,
                     spec.radar.max_points_per_sensor, 7,
                 ),
@@ -171,12 +176,18 @@ def child_main(deadline_s: float) -> None:
                 out = infer(variables, cams, lidar, radars)
             sync(out)
             elapsed = time.perf_counter() - t0
-            sps = bs * iters / elapsed
-            emit("infer", batch=bs, sps=round(sps, 3),
+            emit("infer", batch=bs, sps=round(bs * iters / elapsed, 3),
                  ms_per_iter=round(1000 * elapsed / iters, 2))
-            got_one = True
+            return True
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch={bs} failed: {e}", file=sys.stderr, flush=True)
+            return False
+
+    for bs in (32, 64):
+        if got_one and time.monotonic() > deadline_s:
+            print(f"# budget: skipping batch={bs}", file=sys.stderr, flush=True)
+            continue
+        got_one = measure_infer(bs) or got_one
 
     # train-step throughput (driver-verifiable; VERDICT r02 item 7) — only
     # with leftover budget; the warm .jax_cache makes this cheap
@@ -187,6 +198,10 @@ def child_main(deadline_s: float) -> None:
         except Exception as e:
             print(f"# train measurement failed: {e}", file=sys.stderr,
                   flush=True)
+
+    # small-batch latency point last — least informative, first to drop
+    if got_one and time.monotonic() < deadline_s:
+        measure_infer(8)
 
 
 def _measure_train_step(spec) -> float:
@@ -208,31 +223,36 @@ def _measure_train_step(spec) -> float:
     bs = 16
     model = MultiModal3DDetector(spec=spec, dtype=jnp.bfloat16)
     trainer = Trainer(model, TrainSpec(batch_size=bs), CompatFlags())
-    rs = np.random.RandomState(0)
     h, w = spec.camera.image_size
     max_objects = 32
     boxes = np.zeros((bs, max_objects, 7), np.float32)
     labels = np.full((bs, max_objects), -1, np.int64)
     boxes[:, 0] = [5.0, 5.0, 0.0, 2.0, 4.0, 1.5, 0.3]
     labels[:, 0] = 0
+    # sensor tensors generated ON DEVICE (a host randn + device_put would
+    # cost GBs of host float64 plus a ~350 MB tunnel transfer — harness
+    # overhead, not step time); gt arrays are tiny and stay host-built
+    kc, kl, kr = jax.random.split(jax.random.PRNGKey(0), 3)
     batch = {
-        "camera_imgs": rs.randn(bs, 6, h, w, 3).astype(np.float32),
-        "lidar_points": rs.randn(bs, spec.lidar.max_points, 4).astype(
-            np.float32
+        "camera_imgs": jax.random.normal(
+            kc, (bs, 6, h, w, 3), jnp.float32
         ),
-        "radar_points": rs.randn(
-            bs, spec.radar.num_radars, spec.radar.max_points_per_sensor, 7
-        ).astype(np.float32),
-        "gt_boxes": boxes,
-        "gt_labels": labels,
-        "gt_velocities": np.zeros((bs, max_objects, 2), np.float32),
+        "lidar_points": jax.random.normal(
+            kl, (bs, spec.lidar.max_points, 4), jnp.float32
+        ),
+        "radar_points": jax.random.normal(
+            kr,
+            (bs, spec.radar.num_radars, spec.radar.max_points_per_sensor, 7),
+            jnp.float32,
+        ),
+        "gt_boxes": jax.device_put(boxes),
+        "gt_labels": jax.device_put(labels),
+        "gt_velocities": jax.device_put(
+            np.zeros((bs, max_objects, 2), np.float32)
+        ),
     }
     trainer.init_state(batch)
     state = trainer.state
-    # resident device batch: feeding host numpy would re-transfer ~400 MB
-    # per step over the tunnel (~7 s at 60 MB/s) and time the wire, not the
-    # step
-    batch = jax.device_put(batch)
     jax.block_until_ready(batch)
     # warmup (compile)
     state, losses = trainer.train_step(state, batch, trainer.rng)
