@@ -51,6 +51,7 @@ class InferenceServer:
         fold_bn: bool = True,
         use_pallas: bool = False,
         variables: Optional[Dict] = None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -62,6 +63,18 @@ class InferenceServer:
         self.spec = DetectorSpec.from_config(self.config)
         self.compat = CompatFlags.from_config(self.config)
         self.batch_size = batch_size
+        # multi-chip serving: a ('data','view') jax.sharding.Mesh shards
+        # every coalesced batch over 'data' (and the camera axis over
+        # 'view' when configured) — jit partitions the serving graph over
+        # ICI with no other changes (parallel/mesh.py)
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = int(mesh.shape.get("data", 1))
+            if batch_size % max(n_data, 1):
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"data axis ({n_data}) for sharded serving"
+                )
         self.max_delay_s = max_delay_ms / 1000.0
         self.score_threshold = score_threshold
         # resurrected test.post_processing (compat switch; ops/decode.py):
@@ -371,6 +384,20 @@ class InferenceServer:
         radars = jnp.asarray(
             np.stack([s["radar_points"] for s in padded]), self.model.dtype
         )
+        if self.mesh is not None:
+            from .parallel import shard_batch
+
+            placed = shard_batch(
+                self.mesh,
+                {
+                    "camera_imgs": cams,
+                    "lidar_points": lidar,
+                    "radar_points": radars,
+                },
+            )
+            cams = placed["camera_imgs"]
+            lidar = placed["lidar_points"]
+            radars = placed["radar_points"]
         return self._serve(self.variables, cams, lidar, radars)
 
     def _finish(self, out, futures, n: int, t_enqs: List[float]) -> None:

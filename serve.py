@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--drain-timeout", type=float, default=30.0,
                     help="max seconds to wait for in-flight requests on "
                     "SIGTERM/SIGINT before forcing exit")
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="shard each serving batch over this many devices "
+                    "(multi-chip serving; batch-size must divide by it)")
     args = ap.parse_args()
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
@@ -57,6 +60,15 @@ def main() -> None:
         make_http_server,
     )
 
+    mesh = None
+    if args.data_parallel > 1:
+        from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(n_data=args.data_parallel)
+        print(f"Serving mesh: {mesh}")
+
     server = InferenceServer(
         model_path=args.model,
         config_path=args.config,
@@ -66,6 +78,7 @@ def main() -> None:
         use_bf16=not args.f32,
         fold_bn=not args.no_fold_bn,
         use_pallas=args.pallas,
+        mesh=mesh,
     )
     print(f"Compiling serving graph (batch={args.batch_size}) ...")
     with server:  # warmup compile happens in start()

@@ -474,3 +474,50 @@ def test_client_roundtrip_and_errors(tiny_config):
     assert not dead.healthz()
     with pytest.raises(OSError):
         dead.infer(_samples(1)[0])
+
+
+def test_server_mesh_sharded_matches_single_device(tiny_config):
+    """Multi-chip serving: batches sharded over an 8-device 'data' mesh give
+    the same detections as the unsharded server (same variables)."""
+    import jax
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_data=8)
+    sharded = InferenceServer(
+        config=tiny_config, batch_size=8, max_delay_ms=50.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0, mesh=mesh,
+    )
+    plain = InferenceServer(
+        config=tiny_config, batch_size=8, max_delay_ms=50.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+        variables=sharded.variables,
+    )
+    samples = _samples(3)
+    with sharded:
+        a = [sharded.submit(s) for s in samples]
+        a = [f.result(timeout=120) for f in a]
+    with plain:
+        b = [plain.submit(s) for s in samples]
+        b = [f.result(timeout=120) for f in b]
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra["scores"], rb["scores"], atol=1e-5)
+        np.testing.assert_allclose(ra["boxes"], rb["boxes"], atol=1e-4)
+        np.testing.assert_array_equal(ra["labels"], rb["labels"])
+
+
+def test_server_mesh_batch_size_divisibility():
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        InferenceServer(config={}, batch_size=6, mesh=make_mesh(n_data=4))
