@@ -275,3 +275,33 @@ def test_dataset_chunk_plans_roundtrip():
         plans2["point_idx"], plans["point_idx"]
     )
     assert len(ds._chunk_cache) == 2
+
+
+def test_chunk_plans_skipped_for_train_split(tmp_path):
+    """splat_mode: pallas emits chunk plans only for non-train splits — the
+    Pallas splat is inference-only, and a train batch must not ship dead
+    multi-MB int32 plans to the device every step."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.converter import (
+        write_synthetic_infos,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        NuScenesDataset,
+    )
+
+    root = str(tmp_path / "nusc")
+    write_synthetic_infos(root, samples_per_split=2)
+    config = {
+        "dataset": {"data_root": root},
+        "model": {
+            "bev_fusion": {
+                "camera_to_bev": "geometric",
+                "splat_mode": "pallas",
+                "depth_bins": 4,
+            }
+        },
+    }
+    train_ds = NuScenesDataset(data_root=root, split="train", config=config)
+    val_ds = NuScenesDataset(data_root=root, split="val", config=config)
+    assert train_ds.return_camera_cells and val_ds.return_camera_cells
+    assert not train_ds.return_camera_chunks
+    assert val_ds.return_camera_chunks

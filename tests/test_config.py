@@ -163,3 +163,20 @@ def test_mixed_precision_quirk_flag(tmp_path):
     cfg["compat"] = {"ignore_mixed_precision": False}
     p.write_text(yaml.safe_dump(cfg))
     assert TrainSpec.from_config(load_config(str(p))).mixed_precision
+
+
+def test_parallel_spec_round3_keys():
+    """parallel.shard_optimizer (ZeRO-1) and parallel.bev_spatial parse with
+    reference-safe defaults."""
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        ParallelSpec,
+    )
+
+    assert ParallelSpec.from_config({}).shard_optimizer is False
+    assert ParallelSpec.from_config({}).bev_spatial is False
+    p = ParallelSpec.from_config(
+        {"parallel": {"shard_optimizer": True, "bev_spatial": True,
+                      "data_parallel": 4, "view_parallel": 2}}
+    )
+    assert p.shard_optimizer and p.bev_spatial
+    assert (p.data_parallel, p.view_parallel) == (4, 2)
