@@ -548,3 +548,32 @@ def test_bev_spatial_dual_axis_compiles(tiny_spec):
         tok in txt
         for tok in ("collective-permute", "all-gather", "all-reduce")
     ), "no collectives in the spatially partitioned module"
+
+
+def test_evaluate_honors_post_process_spec(tiny_spec):
+    """Trainer.evaluate(post_process=...) applies the resurrected
+    val.post_processing block: a prohibitive score threshold yields zero
+    predictions (vs the default 0.0-threshold path which keeps all top-K)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        PostProcessSpec,
+    )
+
+    model = MultiModal3DDetector(spec=tiny_spec)
+    trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
+    batch = tiny_batch()
+    trainer.init_state(batch)
+
+    class _OneBatch:
+        def __iter__(self):
+            yield batch
+
+    base = trainer.evaluate(_OneBatch())
+    capped = trainer.evaluate(
+        _OneBatch(),
+        post_process=PostProcessSpec(
+            score_threshold=1.1, nms_threshold=0.5, max_detections=5
+        ),
+    )
+    # threshold > 1 filters every sigmoid score -> all-zero metrics
+    assert capped["mAP"] == 0.0
+    assert isinstance(base["mAP"], float)
