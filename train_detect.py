@@ -320,6 +320,14 @@ def main(config_path: str | None = None) -> None:
 
 def inference(model_path: str, data_root: str = "./data/nuscenes") -> None:
     """Quick single-sample inference (ref: train_detect.py:820-900)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    # BMOD_PLATFORM handling + persistent compile cache (without this the
+    # infer subcommand hangs at backend init whenever the TPU tunnel is down)
+    enable_compilation_cache()
+
     from bevfusion_multimodal_3d_object_detection_tpu.data import (
         NuScenesDataset,
     )
