@@ -106,7 +106,7 @@ class InferenceEngine:
             )
         )
         self.score_threshold = score_threshold
-        # resurrected test.post_processing (declared-but-dead upstream,
+        # resurrected inference.post_processing (declared-but-dead upstream,
         # configs/base.yaml:416-419): score threshold + greedy BEV NMS +
         # max_detections cap, behind compat.ignore_post_processing_config
         self.post_process = None
@@ -114,7 +114,7 @@ class InferenceEngine:
             from .config import PostProcessSpec
 
             self.post_process = PostProcessSpec.from_config(
-                self.config, "test"
+                self.config, "inference"
             )
             self.score_threshold = self.post_process.score_threshold
         inference_cfg = self.config.get("inference", {}) or {}

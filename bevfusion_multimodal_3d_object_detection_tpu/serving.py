@@ -77,14 +77,14 @@ class InferenceServer:
                 )
         self.max_delay_s = max_delay_ms / 1000.0
         self.score_threshold = score_threshold
-        # resurrected test.post_processing (compat switch; ops/decode.py):
+        # resurrected inference.post_processing (compat switch; ops/decode.py):
         # config score threshold + greedy BEV NMS + max_detections cap
         self.post_process = None
         if not self.compat.ignore_post_processing_config:
             from .config import PostProcessSpec
 
             self.post_process = PostProcessSpec.from_config(
-                self.config, "test"
+                self.config, "inference"
             )
             self.score_threshold = self.post_process.score_threshold
         dtype = jnp.bfloat16 if use_bf16 else jnp.float32
