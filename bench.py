@@ -199,8 +199,10 @@ def child_main(deadline_s: float) -> None:
             print(f"# train measurement failed: {e}", file=sys.stderr,
                   flush=True)
 
-    # small-batch latency point last — least informative, first to drop
-    if got_one and time.monotonic() < deadline_s:
+    # small-batch latency point last — least informative, first to drop on
+    # budget, but ALSO the fallback when both large batches failed (e.g.
+    # memory pressure): better one small number than none
+    if (not got_one) or time.monotonic() < deadline_s:
         measure_infer(8)
 
 

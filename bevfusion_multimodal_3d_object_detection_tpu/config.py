@@ -143,7 +143,8 @@ class CompatFlags:
     # reference behavior; True = proper (b+sqrt(b^2-4ac))/(2a) roots. Differs
     # only for large boxes on fine grids.
     corrected_gaussian_radius: bool = False
-    # Q16-family: the reference declares val/test.post_processing
+    # Q16-family: the reference declares post_processing blocks under
+    # val/test/inference
     # (score_threshold, nms_threshold, max_detections; configs/base.yaml:
     # 393-396, 416-419) but never reads it — eval hardcodes thresh 0.0
     # (eval.py:60) and inference 0.3 (inference.py:80). True = reference
@@ -161,7 +162,8 @@ class CompatFlags:
 
 @dataclass(frozen=True)
 class PostProcessSpec:
-    """val/test.post_processing — declared-but-dead in the reference
+    """post_processing blocks (val/test/inference) — declared-but-dead in
+    the reference
     (configs/base.yaml:393-396, 416-419); honored here when
     compat.ignore_post_processing_config is False. Defaults mirror the
     reference YAML values."""
@@ -172,9 +174,17 @@ class PostProcessSpec:
 
     @staticmethod
     def from_config(
-        cfg: Optional[Dict], section: str = "val"
+        cfg: Optional[Dict], section="val"
     ) -> "PostProcessSpec":
-        p = _get(cfg, section, "post_processing", default={}) or {}
+        """`section` may be one name or a preference-ordered tuple — the
+        first section with a post_processing block wins (the engine/serving
+        use ("inference", "test") since the reference declares both)."""
+        sections = (section,) if isinstance(section, str) else tuple(section)
+        p = {}
+        for s in sections:
+            p = _get(cfg, s, "post_processing", default={}) or {}
+            if p:
+                break
         return PostProcessSpec(
             score_threshold=float(p.get("score_threshold", 0.3)),
             nms_threshold=float(p.get("nms_threshold", 0.5)),

@@ -106,15 +106,15 @@ class InferenceEngine:
             )
         )
         self.score_threshold = score_threshold
-        # resurrected inference.post_processing (declared-but-dead upstream,
-        # configs/base.yaml:416-419): score threshold + greedy BEV NMS +
+        # resurrected inference.post_processing (test.post_processing as the
+        # fallback; both declared-but-dead upstream): score threshold + BEV NMS +
         # max_detections cap, behind compat.ignore_post_processing_config
         self.post_process = None
         if not self.compat.ignore_post_processing_config:
             from .config import PostProcessSpec
 
             self.post_process = PostProcessSpec.from_config(
-                self.config, "inference"
+                self.config, ("inference", "test")
             )
             self.score_threshold = self.post_process.score_threshold
         inference_cfg = self.config.get("inference", {}) or {}

@@ -62,10 +62,20 @@ def main() -> None:
 
     mesh = None
     if args.data_parallel > 1:
+        import jax
+
         from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
             make_mesh,
         )
 
+        n_dev = len(jax.devices())
+        if args.data_parallel > n_dev:
+            raise SystemExit(
+                f"--data-parallel {args.data_parallel} needs that many "
+                f"devices, but only {n_dev} available (use "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+                "virtual CPU mesh)"
+            )
         mesh = make_mesh(n_data=args.data_parallel)
         print(f"Serving mesh: {mesh}")
 
