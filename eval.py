@@ -179,6 +179,26 @@ def main(config_path: str | None = None) -> dict:
         save_and_print_metrics(
             official, str(out_dir / "eval_metrics_official.txt")
         )
+
+    # official nuScenes submission.json (metrics.save_submission: <path>) —
+    # LiDAR-frame detections transformed back to the global frame via the
+    # per-sample poses in the info pickles (utils/submission.py)
+    sub_path = metrics_cfg.get("save_submission")
+    if sub_path:
+        from bevfusion_multimodal_3d_object_detection_tpu.utils.submission import (
+            export_nuscenes_submission,
+        )
+
+        export_nuscenes_submission(
+            predictions,
+            val_ds.infos[: len(predictions)],
+            str(sub_path),
+            classes=tuple(val_ds.classes),
+            use_camera=spec.use_camera,
+            use_lidar=spec.use_lidar,
+            use_radar=spec.use_radar,
+        )
+        print(f"Submission written to {sub_path}")
     return metrics
 
 
