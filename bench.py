@@ -272,6 +272,9 @@ def _measure_train_step(spec) -> float:
 # ---------------------------------------------------------------------------
 
 
+LAST_GOOD_CACHE = REPO / "bench_last_good.json"
+
+
 class Reporter:
     """Holds best-so-far and guarantees the final JSON line exactly once."""
 
@@ -287,7 +290,15 @@ class Reporter:
                 self.best_infer = res["sps"]
         elif res.get("kind") == "train":
             self.train_sps = res["sps"]
-        print(json.dumps(self._payload()), flush=True)
+        payload = self._payload()
+        try:  # persist for the TPU-unavailable fallback annotation
+            json.dump(
+                {**payload, "recorded_at": time.strftime("%Y-%m-%d %H:%M")},
+                open(LAST_GOOD_CACHE, "w"),
+            )
+        except OSError:
+            pass
+        print(json.dumps(payload), flush=True)
 
     def _payload(self) -> dict:
         out = {
@@ -304,6 +315,14 @@ class Reporter:
             out["train_samples_per_sec"] = self.train_sps
         if self.best_infer is None:
             out["error"] = "no completed measurement (TPU unavailable?)"
+            # the tunneled chip goes down for hours at a time; surface the
+            # last run that DID complete so the artifact stays informative
+            # (value stays null — this is context, not a measurement)
+            if LAST_GOOD_CACHE.exists():
+                try:
+                    out["last_good_run"] = json.load(open(LAST_GOOD_CACHE))
+                except (OSError, json.JSONDecodeError):
+                    pass
         return out
 
     def finalize(self) -> None:
