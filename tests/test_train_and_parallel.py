@@ -577,3 +577,34 @@ def test_evaluate_honors_post_process_spec(tiny_spec):
     # threshold > 1 filters every sigmoid score -> all-zero metrics
     assert capped["mAP"] == 0.0
     assert isinstance(base["mAP"], float)
+
+
+def test_zero_place_opt_state_callback_path(monkeypatch):
+    """place_opt_state's multi-process branch (make_array_from_callback:
+    each host materializes only its own shards) produces the same values
+    and shardings as the single-process device_put path."""
+    import jax.numpy as jnp
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+        place_opt_state,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import zero
+
+    mesh = make_mesh(n_data=8)
+    tree = {
+        "m": jnp.arange(8 * 4.0).reshape(8, 4),
+        "count": jnp.zeros((), jnp.int32),
+    }
+    direct = place_opt_state(tree, mesh)
+    monkeypatch.setattr(zero, "is_multi_process", lambda m: True)
+    via_callback = place_opt_state(tree, mesh)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(direct),
+        jax.tree_util.tree_leaves(via_callback),
+    ):
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert via_callback["m"].sharding.spec == jax.sharding.PartitionSpec(
+        "data"
+    )
+    assert via_callback["m"].addressable_shards[0].data.shape == (1, 4)
