@@ -143,6 +143,17 @@ def main(config_path: str | None = None) -> None:
         dtype=jnp.bfloat16 if train_spec.mixed_precision else jnp.float32,
         bev_sharding=bev_sharding,
     )
+    if (
+        multi_host
+        and par.shard_optimizer
+        and train_spec.ckpt_backend == "msgpack"
+    ):
+        raise SystemExit(
+            "parallel.shard_optimizer with multi_host requires an orbax "
+            "checkpoint backend (train.checkpoint.backend: orbax|"
+            "orbax_async): msgpack gathers host-locally and cannot "
+            "serialize cross-host optimizer shards"
+        )
     trainer = Trainer(
         model, train_spec, compat, mesh=mesh,
         steps_per_epoch=len(train_loader),
