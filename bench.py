@@ -47,6 +47,8 @@ METRIC = (
     "tri-modal inference samples/sec (1 TPU chip, bf16, "
     "forward + on-device decode)"
 )
+# MFU denominator: TPU v5e (lite) peak bf16 matmul throughput per chip.
+PEAK_BF16_FLOPS = 197e12
 
 
 def get_cpu_baseline():
@@ -91,6 +93,10 @@ def child_main(deadline_s: float) -> None:
     devices = jax.devices()  # backend init: hangs here when the tunnel died
     print("PHASE devices-ok", flush=True)
     print(f"# devices: {devices}", file=sys.stderr, flush=True)
+    print(
+        "RESULT " + json.dumps({"kind": "meta", "device": str(devices[0])}),
+        flush=True,
+    )
 
     from bevfusion_multimodal_3d_object_detection_tpu.config import (
         CompatFlags,
@@ -142,6 +148,8 @@ def child_main(deadline_s: float) -> None:
         # experimental tunneled platform)
         return float(np.asarray(out["scores"]).sum())
 
+    cost_flops = _cost_flops
+
     got_one = False
     # b=32 first: cheapest good compile on a COLD cache (a first number in
     # the bank beats everything), then b=64 (the best-known config,
@@ -176,8 +184,13 @@ def child_main(deadline_s: float) -> None:
                 out = infer(variables, cams, lidar, radars)
             sync(out)
             elapsed = time.perf_counter() - t0
+            flops = cost_flops(infer, variables, cams, lidar, radars)
+            mfu = (
+                round(flops * iters / elapsed / PEAK_BF16_FLOPS, 4)
+                if flops else None
+            )
             emit("infer", batch=bs, sps=round(bs * iters / elapsed, 3),
-                 ms_per_iter=round(1000 * elapsed / iters, 2))
+                 ms_per_iter=round(1000 * elapsed / iters, 2), mfu=mfu)
             return True
         except Exception as e:  # OOM at large batch etc.
             print(f"# batch={bs} failed: {e}", file=sys.stderr, flush=True)
@@ -193,8 +206,8 @@ def child_main(deadline_s: float) -> None:
     # with leftover budget; the warm .jax_cache makes this cheap
     if got_one and time.monotonic() < deadline_s - 30:
         try:
-            train_sps = _measure_train_step(spec)
-            emit("train", batch=16, sps=round(train_sps, 3))
+            train_sps, train_mfu = _measure_train_step(spec)
+            emit("train", batch=16, sps=round(train_sps, 3), mfu=train_mfu)
         except Exception as e:
             print(f"# train measurement failed: {e}", file=sys.stderr,
                   flush=True)
@@ -206,7 +219,22 @@ def child_main(deadline_s: float) -> None:
         measure_infer(8)
 
 
-def _measure_train_step(spec) -> float:
+def _cost_flops(jitted, *args):
+    """Per-call FLOPs from XLA cost analysis (for MFU). lower() is a cheap
+    retrace; compile() hits the in-process executable cache when the jit
+    already ran at these shapes."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception as e:
+        print(f"# cost_analysis failed: {e}", file=sys.stderr, flush=True)
+        return None
+
+
+def _measure_train_step(spec) -> tuple:
     """Mixed-precision (bf16 compute / f32 params) train-step samples/sec at
     the best-known batch (b=16, ARCHITECTURE.md)."""
     import numpy as np
@@ -264,7 +292,12 @@ def _measure_train_step(spec) -> float:
     for _ in range(iters):
         state, losses = trainer.train_step(state, batch, trainer.rng)
     float(losses["total_loss"])  # sync
-    return bs * iters / (time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t0
+    flops = _cost_flops(trainer.train_step, state, batch, trainer.rng)
+    mfu = (
+        round(flops * iters / elapsed / PEAK_BF16_FLOPS, 4) if flops else None
+    )
+    return bs * iters / elapsed, mfu
 
 
 # ---------------------------------------------------------------------------
@@ -275,21 +308,60 @@ def _measure_train_step(spec) -> float:
 LAST_GOOD_CACHE = REPO / "bench_last_good.json"
 
 
+def _git_commit():
+    try:
+        head = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not head:
+            return None
+        dirty = subprocess.run(
+            ["git", "-C", str(REPO), "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return head + ("-dirty" if dirty else "")
+    except Exception:
+        return None
+
+
+def _config_hash():
+    import hashlib
+
+    try:
+        blob = (REPO / "configs" / "base.yaml").read_bytes()
+        return hashlib.sha256(blob).hexdigest()[:16]
+    except OSError:
+        return None
+
+
 class Reporter:
     """Holds best-so-far and guarantees the final JSON line exactly once."""
 
     def __init__(self):
         self.best_infer = None
+        self.best_mfu = None
         self.train_sps = None
+        self.train_mfu = None
+        self.device = None
         self.cpu_sps = get_cpu_baseline()
         self.finalized = False
+        # provenance: ties every recorded number (and the last-good fallback
+        # it becomes) to the exact code + config under judgment
+        self.git_commit = _git_commit()
+        self.config_hash = _config_hash()
 
     def record(self, res: dict) -> None:
+        if res.get("kind") == "meta":
+            self.device = res.get("device")
+            return  # context only — don't print a result line for it
         if res.get("kind") == "infer":
             if self.best_infer is None or res["sps"] > self.best_infer:
                 self.best_infer = res["sps"]
+                self.best_mfu = res.get("mfu")
         elif res.get("kind") == "train":
             self.train_sps = res["sps"]
+            self.train_mfu = res.get("mfu")
         payload = self._payload()
         try:  # persist for the TPU-unavailable fallback annotation
             json.dump(
@@ -311,8 +383,16 @@ class Reporter:
                 else None
             ),
         }
+        if self.best_mfu is not None:
+            out["mfu"] = self.best_mfu
         if self.train_sps is not None:
             out["train_samples_per_sec"] = self.train_sps
+            if self.train_mfu is not None:
+                out["train_mfu"] = self.train_mfu
+        out["git_commit"] = self.git_commit
+        out["config_hash"] = self.config_hash
+        if self.device is not None:
+            out["device"] = self.device
         if self.best_infer is None:
             out["error"] = "no completed measurement (TPU unavailable?)"
             # the tunneled chip goes down for hours at a time; surface the
