@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import io
 import json
+import socket
 import time
 import urllib.error
 import urllib.request
@@ -123,11 +124,18 @@ class InferenceClient:
                     raise
                 last = e
             except (urllib.error.URLError, OSError) as e:
-                if isinstance(getattr(e, "reason", None), TimeoutError) and (
-                    data is not None
-                ):
-                    raise  # same: timed-out POST is not safely retryable
-                last = e  # connection refused/reset, DNS: transient
+                if data is not None:
+                    # POST: retry ONLY pre-connection failures (refused, DNS)
+                    # where the server provably never saw the request. A
+                    # reset/broken pipe can arrive AFTER the request was
+                    # accepted — retrying would duplicate device work (same
+                    # at-most-once rule as timeouts and 504).
+                    cause = getattr(e, "reason", e)
+                    if not isinstance(
+                        cause, (ConnectionRefusedError, socket.gaierror)
+                    ):
+                        raise
+                last = e  # refused/DNS (any method), or any GET failure
         raise last
 
     # -- API ---------------------------------------------------------------

@@ -59,19 +59,32 @@ def opt_state_shardings(opt_state: Any, mesh: Mesh) -> Any:
 
 
 def place_opt_state(opt_state: Any, mesh: Mesh) -> Any:
-    """Place a replicated/host optimizer state onto its ZeRO shardings."""
+    """Place a replicated/host optimizer state onto its ZeRO shardings.
+
+    Leaves that are already jax.Arrays on the target sharding pass through
+    untouched — the orbax restore path hands us the live ZeRO-sharded
+    opt_state (restored onto the template's shardings), and np.asarray on a
+    non-fully-addressable array would raise in the multi-process branch.
+    """
     shardings = opt_state_shardings(opt_state, mesh)
-    if is_multi_process(mesh):
-        # every process computed the same full init; each host materializes
-        # only the shards it owns
-        def mk(leaf, sharding):
+    multi = is_multi_process(mesh)
+
+    def mk(leaf, sharding):
+        if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
+            return leaf  # already placed (e.g. orbax restore-to-template)
+        if multi:
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                # a global array on some *other* layout: let XLA reshard it
+                return jax.device_put(leaf, sharding)
+            # every process computed the same full init; each host
+            # materializes only the shards it owns
             host = np.asarray(leaf)
             return jax.make_array_from_callback(
                 host.shape, sharding, lambda idx: host[idx]
             )
+        return jax.device_put(leaf, sharding)
 
-        return jax.tree_util.tree_map(mk, opt_state, shardings)
-    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)
+    return jax.tree_util.tree_map(mk, opt_state, shardings)
 
 
 def constrain_opt_state(opt_state: Any, mesh: Optional[Mesh]) -> Any:

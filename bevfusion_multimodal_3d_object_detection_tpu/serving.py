@@ -521,6 +521,7 @@ def make_http_server(
     """
     import io
     import json as _json
+    import zipfile
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     t_start = time.time()
@@ -568,23 +569,31 @@ def make_http_server(
                     return
                 raw = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "application/json")
-                if "npz" in ctype:
-                    with np.load(io.BytesIO(raw)) as z:
-                        # uint8 camera arrays stay uint8 (the low-traffic
-                        # wire format; normalized on device)
+                try:
+                    if "npz" in ctype:
+                        with np.load(io.BytesIO(raw)) as z:
+                            # uint8 camera arrays stay uint8 (the low-traffic
+                            # wire format; normalized on device)
+                            sample = {
+                                k: (
+                                    np.asarray(z[k])
+                                    if z[k].dtype == np.uint8
+                                    else np.asarray(z[k], np.float32)
+                                )
+                                for k in z
+                            }
+                    else:
                         sample = {
-                            k: (
-                                np.asarray(z[k])
-                                if z[k].dtype == np.uint8
-                                else np.asarray(z[k], np.float32)
-                            )
-                            for k in z
+                            k: np.asarray(v, np.float32)
+                            for k, v in _json.loads(raw).items()
                         }
-                else:
-                    sample = {
-                        k: np.asarray(v, np.float32)
-                        for k, v in _json.loads(raw).items()
-                    }
+                except (zipfile.BadZipFile, OSError) as e:
+                    # np.load raises BadZipFile on truncated/garbage zip
+                    # bodies and OSError on unreadable buffers — client
+                    # faults, same class as a JSON parse error. Scoped to
+                    # the parse so a reply-write OSError is NOT mislabeled.
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 res = server.infer(sample, timeout=120.0)
                 self._reply(
                     200,

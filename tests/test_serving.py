@@ -464,6 +464,15 @@ def test_client_roundtrip_and_errors(tiny_config):
                 client._request(
                     "/infer", data=b"junk", content_type="application/json"
                 )
+            # truncated/garbage npz body -> 400 (BadZipFile is a client
+            # fault, not a 500 — ADVICE r03)
+            with pytest.raises(ClientError) as exc:
+                client._request(
+                    "/infer",
+                    data=b"PK\x03\x04garbage-not-a-zip",
+                    content_type="application/x-npz",
+                )
+            assert exc.value.status == 400
         finally:
             httpd.shutdown()
             httpd.server_close()
@@ -521,3 +530,72 @@ def test_server_mesh_batch_size_divisibility():
 
     with pytest.raises(ValueError, match="divide"):
         InferenceServer(config={}, batch_size=6, mesh=make_mesh(n_data=4))
+
+
+def test_client_post_retry_semantics(monkeypatch):
+    """POSTs retry ONLY pre-connection failures (refused/DNS); a reset or
+    broken pipe may arrive after the server accepted the request, so
+    retrying would violate at-most-once (ADVICE r03). GETs retry anything
+    transient."""
+    import urllib.error
+
+    from bevfusion_multimodal_3d_object_detection_tpu import client as cmod
+
+    calls = {"n": 0}
+
+    def fake_urlopen(exc):
+        def _open(req, timeout=None):
+            calls["n"] += 1
+            raise exc
+
+        return _open
+
+    c = cmod.InferenceClient(
+        "http://127.0.0.1:1", retries=2, backoff_s=0.0, timeout_s=1
+    )
+
+    # reset mid-POST: exactly ONE attempt, error surfaces
+    calls["n"] = 0
+    monkeypatch.setattr(
+        cmod.urllib.request,
+        "urlopen",
+        fake_urlopen(urllib.error.URLError(ConnectionResetError("reset"))),
+    )
+    with pytest.raises(urllib.error.URLError):
+        c._request("/infer", data=b"x")
+    assert calls["n"] == 1
+
+    # bare OSError (broken pipe) mid-POST: also one attempt
+    calls["n"] = 0
+    monkeypatch.setattr(
+        cmod.urllib.request,
+        "urlopen",
+        fake_urlopen(BrokenPipeError("pipe")),
+    )
+    with pytest.raises(OSError):
+        c._request("/infer", data=b"x")
+    assert calls["n"] == 1
+
+    # connection refused pre-POST: server never saw it -> full retries
+    calls["n"] = 0
+    monkeypatch.setattr(
+        cmod.urllib.request,
+        "urlopen",
+        fake_urlopen(
+            urllib.error.URLError(ConnectionRefusedError("refused"))
+        ),
+    )
+    with pytest.raises(urllib.error.URLError):
+        c._request("/infer", data=b"x")
+    assert calls["n"] == 3
+
+    # GET: resets ARE retryable (idempotent)
+    calls["n"] = 0
+    monkeypatch.setattr(
+        cmod.urllib.request,
+        "urlopen",
+        fake_urlopen(urllib.error.URLError(ConnectionResetError("reset"))),
+    )
+    with pytest.raises(urllib.error.URLError):
+        c._request("/stats")
+    assert calls["n"] == 3

@@ -608,3 +608,42 @@ def test_zero_place_opt_state_callback_path(monkeypatch):
         "data"
     )
     assert via_callback["m"].addressable_shards[0].data.shape == (1, 4)
+
+
+def test_zero_place_opt_state_restore_passthrough(monkeypatch):
+    """An opt_state whose leaves are ALREADY on their ZeRO shardings (the
+    orbax restore-to-template path) passes through place_opt_state
+    untouched — in particular the multi-process branch must NOT call
+    np.asarray on it, which raises for non-fully-addressable arrays
+    (ADVICE r03 medium)."""
+    import jax.numpy as jnp
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+        place_opt_state,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import zero
+
+    mesh = make_mesh(n_data=8)
+    tree = {
+        "m": jnp.arange(8 * 4.0).reshape(8, 4),
+        "count": jnp.zeros((), jnp.int32),
+    }
+    placed = place_opt_state(tree, mesh)
+
+    # simulate multi-host: already-placed leaves must be returned as-is,
+    # never routed through np.asarray (which a real multi-host restore
+    # would crash on)
+    monkeypatch.setattr(zero, "is_multi_process", lambda m: True)
+
+    def _boom(*a, **k):  # pragma: no cover - only fires on regression
+        raise AssertionError(
+            "np.asarray called on an already-placed opt_state leaf"
+        )
+
+    monkeypatch.setattr(zero.np, "asarray", _boom)
+    again = place_opt_state(placed, mesh)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(placed),
+        jax.tree_util.tree_leaves(again),
+    ):
+        assert a is b  # identity pass-through, zero copies
