@@ -271,8 +271,19 @@ class BEVFusionSpec:
     # lifted-tensor scatter-add (same math, different float summation order);
     # 'pallas' fuses the whole lift-splat into one weighted Pallas pool pass
     # on INFERENCE paths when the batch carries chunk plans (dataset
-    # return_camera_chunks), falling back to 'matmul' otherwise/in training.
+    # return_camera_chunks), falling back to 'matmul' otherwise/in training;
+    # 'culled' uses the calibration-time culled + (cell, pixel)-deduped plan
+    # (ops/bev_splat.precompute_culled_pairs) when the batch carries pair
+    # plans (dataset return_camera_pairs) — identical math on a compacted
+    # point stream, differentiable (works in training), falling back to
+    # 'matmul' when plans are absent.
     splat_mode: str = "matmul"
+    # static capacities of the culled pair plans (points surviving the range
+    # cull / unique (cell, pixel) pairs). 0 = size automatically from the
+    # first sample's calibration (+headroom); set explicitly when sample
+    # calibrations vary enough to overflow the auto capacity.
+    splat_cull_points: int = 0
+    splat_cull_pairs: int = 0
 
 
 @dataclass(frozen=True)
@@ -446,6 +457,8 @@ class DetectorSpec:
                 ),
                 camera_to_bev=bev_cfg.get("camera_to_bev", "pseudo"),
                 splat_mode=bev_cfg.get("splat_mode", "matmul"),
+                splat_cull_points=bev_cfg.get("splat_cull_points", 0),
+                splat_cull_pairs=bev_cfg.get("splat_cull_pairs", 0),
                 depth_bins=bev_cfg.get("depth_bins", 40),
                 depth_min=bev_cfg.get("depth_min", 1.0),
                 depth_max=bev_cfg.get("depth_max", 60.0),

@@ -121,6 +121,9 @@ class NuScenesDataset:
         seed: Optional[int] = None,
         return_camera_cells: bool = False,
         return_camera_chunks: bool = False,
+        return_camera_pairs: bool = False,
+        cull_points: int = 0,
+        cull_pairs: int = 0,
         bev_h: int = 50,
         bev_w: int = 50,
         depth_bins: int = 40,
@@ -159,6 +162,17 @@ class NuScenesDataset:
                     bev_cfg.get("splat_mode", "matmul") == "pallas"
                     and split != "train"
                 )
+                # culled pair plans (splat_mode: culled) are differentiable
+                # and replace the raw cells entirely — the model's culled
+                # branch never reads camera_cells, so shipping both would
+                # waste device bandwidth
+                return_camera_pairs = (
+                    bev_cfg.get("splat_mode", "matmul") == "culled"
+                )
+                if return_camera_pairs:
+                    return_camera_cells = False
+                cull_points = bev_cfg.get("splat_cull_points", 0)
+                cull_pairs = bev_cfg.get("splat_cull_pairs", 0)
                 dataset_cfg = config.get("dataset", {}) or {}
                 bev_h = bev_cfg.get("bev_h", dataset_cfg.get("bev_h", 50))
                 bev_w = bev_cfg.get("bev_w", dataset_cfg.get("bev_w", 50))
@@ -183,6 +197,16 @@ class NuScenesDataset:
         # calibration-only index math, cached per distinct cells array
         self.return_camera_chunks = return_camera_chunks
         self._chunk_cache: Dict[bytes, Dict[str, np.ndarray]] = {}
+        # culled pair plans (splat_mode: culled) — calibration-only index
+        # math, cached per distinct cells array; capacities fixed on first
+        # use (or from config) so batch shapes stay static across samples
+        self.return_camera_pairs = return_camera_pairs
+        self._pair_cache: Dict[bytes, Dict[str, np.ndarray]] = {}
+        self._cull_caps = (
+            (int(cull_points), int(cull_pairs))
+            if cull_points and cull_pairs
+            else None
+        )
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.num_sweeps = num_sweeps
@@ -378,13 +402,25 @@ class NuScenesDataset:
             "gt_velocities": gt_vel,
             "token": info["token"],
         }
-        if self.return_camera_cells or self.return_camera_chunks:
-            sample["camera_cells"] = self._frustum_cells(info)
+        if (
+            self.return_camera_cells
+            or self.return_camera_chunks
+            or self.return_camera_pairs
+        ):
+            cells = self._frustum_cells(info)
+            if self.return_camera_cells or self.return_camera_chunks:
+                sample["camera_cells"] = cells
             if self.return_camera_chunks:
-                plans = self._chunk_plans(sample["camera_cells"])
+                plans = self._chunk_plans(cells)
                 sample["camera_point_idx"] = plans["point_idx"]
                 sample["camera_local_ids"] = plans["local_ids"]
                 sample["camera_block_idx"] = plans["block_idx"]
+            if self.return_camera_pairs:
+                plans = self._pair_plans(cells)
+                sample["camera_seg_idx"] = plans["seg_idx"]
+                sample["camera_seg_id"] = plans["seg_id"]
+                sample["camera_pair_cell"] = plans["pair_cell"]
+                sample["camera_pair_pix"] = plans["pair_pix"]
         cam_front = info.get("cams", {}).get("CAM_FRONT", {})
         if "calibrated_sensor" in cam_front and "lidar_calibrated_sensor" in info:
             # front-camera projection data for the visualization path
@@ -428,6 +464,52 @@ class NuScenesDataset:
         return {
             k: np.stack([p[k] for p in per_cam])
             for k in ("point_idx", "local_ids", "block_idx")
+        }
+
+    def _pair_plans(self, camera_cells: np.ndarray) -> Dict[str, np.ndarray]:
+        """Per-camera culled + (cell, pixel)-deduped splat plans
+        (ops.bev_splat.precompute_culled_pairs) for splat_mode: culled:
+        seg_idx / seg_id (N, T_cull), pair_cell / pair_pix (N, U_cap).
+        Capacities are fixed on first use (5% headroom + round-up over the
+        first calibration, or the config's splat_cull_points/pairs) so batch
+        shapes stay static; a later sample overflowing them raises with the
+        config keys to set. Cached by cells bytes like the chunk plans."""
+        from ..ops.bev_splat import _round_up, precompute_culled_pairs
+
+        num_cells = self.bev_h * self.bev_w
+        hw = camera_cells.shape[-2] * camera_cells.shape[-1]
+        if self._cull_caps is None:
+            sizes = [
+                precompute_culled_pairs(
+                    c.reshape(-1), hw, num_cells, pad_multiple=1
+                )
+                for c in camera_cells
+            ]
+            self._cull_caps = (
+                _round_up(
+                    int(max(p["n_points"] for p in sizes) * 1.05) + 1, 1024
+                ),
+                _round_up(
+                    int(max(p["n_pairs"] for p in sizes) * 1.05) + 1, 1024
+                ),
+            )
+        t_cap, u_cap = self._cull_caps
+        per_cam = []
+        for cam_cells in camera_cells:  # (D, H', W')
+            key = cam_cells.tobytes()
+            plan = self._pair_cache.get(key)
+            if plan is None:
+                plan = precompute_culled_pairs(
+                    cam_cells.reshape(-1), hw, num_cells,
+                    point_capacity=t_cap, pair_capacity=u_cap,
+                )
+                if len(self._pair_cache) > 256:  # bound host memory
+                    self._pair_cache.clear()
+                self._pair_cache[key] = plan
+            per_cam.append(plan)
+        return {
+            k: np.stack([p[k] for p in per_cam])
+            for k in ("seg_idx", "seg_id", "pair_cell", "pair_pix")
         }
 
     def _frustum_cells(self, info) -> np.ndarray:

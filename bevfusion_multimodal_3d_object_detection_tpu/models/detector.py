@@ -63,6 +63,7 @@ class MultiModal3DDetector(nn.Module):
         train: bool = False,
         camera_cells: Optional[jnp.ndarray] = None,
         camera_chunks: Optional[tuple] = None,
+        camera_pairs: Optional[tuple] = None,
     ) -> Dict[str, jnp.ndarray]:
         s = self.spec
 
@@ -112,7 +113,7 @@ class MultiModal3DDetector(nn.Module):
             )(
                 cam_feat, lidar_feat, radar_feat,
                 train=train, camera_cells=camera_cells,
-                camera_chunks=camera_chunks,
+                camera_chunks=camera_chunks, camera_pairs=camera_pairs,
             )
         elif s.fusion_type == "attention":
             fused = FlexibleAttentionFusion(

@@ -76,9 +76,11 @@ class GeometricCameraBEV(nn.Module):
         camera_cells,
         train: bool = False,
         camera_chunks=None,
+        camera_pairs=None,
     ):
         from ..ops.bev_splat import (
             bev_scatter_add,
+            lift_splat_culled_rows,
             lift_splat_matmul_rows,
             lift_splat_pallas_rows,
         )
@@ -93,8 +95,23 @@ class GeometricCameraBEV(nn.Module):
         feat = nn.Conv(
             s.bev_channels, (1, 1), dtype=self.dtype, name="feat_proj"
         )(flat)
-        cells = camera_cells.reshape(b * n, d * fh * fw)
-        if (
+        cells = (
+            camera_cells.reshape(b * n, d * fh * fw)
+            if camera_cells is not None
+            else None
+        )
+        if s.splat_mode == "culled" and camera_pairs is not None:
+            # calibration-time culled + (cell, pixel)-deduped plan
+            # (ops/bev_splat.precompute_culled_pairs): the runtime only
+            # touches in-range frustum points, pre-grouped and pre-sorted
+            # on the host. Differentiable — used by training too.
+            si, sg, pc, pp = (
+                a.reshape((b * n,) + a.shape[2:]) for a in camera_pairs
+            )
+            bev = lift_splat_culled_rows(
+                feat, depth_logits, si, sg, pc, pp, s.bev_h * s.bev_w
+            )
+        elif (
             s.splat_mode == "pallas"
             and camera_chunks is not None
             and not train
@@ -122,7 +139,7 @@ class GeometricCameraBEV(nn.Module):
                 num_cells_pad=nc_pad,
                 interpret=jax.default_backend() == "cpu",
             ).astype(feat.dtype)
-        elif s.splat_mode in ("matmul", "pallas"):
+        elif s.splat_mode in ("matmul", "pallas", "culled"):
             # fast formulation: scatter scalar depth probs into per-pixel
             # cell weights, contract features on the MXU (no lifted tensor
             # in HBM; 1.55x end-to-end measured, ops/bev_splat)
@@ -172,6 +189,7 @@ class FlexibleBEVFusion(nn.Module):
         train: bool = False,
         camera_cells: Optional[jnp.ndarray] = None,
         camera_chunks: Optional[tuple] = None,
+        camera_pairs: Optional[tuple] = None,
     ) -> jnp.ndarray:
         s = self.spec
         bev_feats = []
@@ -179,14 +197,14 @@ class FlexibleBEVFusion(nn.Module):
         if self.use_camera and camera_features is not None:
             if (
                 s.camera_to_bev == "geometric"
-                and camera_cells is not None
+                and (camera_cells is not None or camera_pairs is not None)
                 and camera_features.ndim == 5
             ):
                 cam = GeometricCameraBEV(
                     spec=s, dtype=self.dtype, name="geometric_camera_bev"
                 )(
                     camera_features, camera_cells, train=train,
-                    camera_chunks=camera_chunks,
+                    camera_chunks=camera_chunks, camera_pairs=camera_pairs,
                 )
                 bev_feats.append(cam)
             else:

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bev_pool_pallas import DEFAULT_WINDOW
+
 
 @partial(jax.jit, static_argnames=("num_cells",))
 def bev_scatter_add(
@@ -196,7 +198,7 @@ def lift_splat_pallas_rows(
     block_idx: jnp.ndarray,
     num_cells: int,
     num_cells_pad: int,
-    window: int = 256,
+    window: int = DEFAULT_WINDOW,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused lift-splat via the weighted Pallas BEV pool — one kernel pass,
@@ -228,6 +230,192 @@ def lift_splat_pallas_rows(
         window=window,
         interpret=interpret,
     )
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def precompute_culled_pairs(
+    cell_ids: np.ndarray,
+    hw: int,
+    num_cells: int,
+    point_capacity: int = 0,
+    pair_capacity: int = 0,
+    pad_multiple: int = 1024,
+) -> dict:
+    """Calibration-time culling + dedup of one camera's frustum plan
+    (VERDICT r03 #3: compact the D*H'*W' axis before the lift).
+
+    At production shapes most frustum points land OUTSIDE the BEV range
+    (the +-51.2 m grid clips a 1-60 m frustum hard), and along a ray
+    several consecutive depth bins land in the SAME cell. Both facts
+    depend only on calibration, so the runtime splat never needs to see
+    them: keep only in-range points, group them by their unique
+    (cell, pixel) pair, and sort pairs lexicographically. The runtime
+    lift then gathers T_cull depth probs, segment-sums them into U pair
+    weights (segments are calibration-fixed and sorted), and splats U
+    weights with a sorted UNIQUE-index scatter — every axis smaller than
+    the full D*H'*W' stream and every sort already done on the host.
+
+    Args:
+      cell_ids: (P,) int32 flat BEV cell per frustum point in the
+        p = d * HW + pixel flattening (-1 = out of range), from
+        `precompute_frustum_cells`.
+      hw: H' * W' (pixels per camera); P must be a multiple of it.
+      num_cells: bev_h * bev_w (pad cells point one past the end).
+      point_capacity / pair_capacity: static output sizes; 0 = round the
+        actual counts up to `pad_multiple` (callers batching plans across
+        samples pass the shared capacity explicitly). Raises ValueError
+        if the actual counts exceed a nonzero capacity.
+
+    Returns dict of numpy arrays (all static-shaped):
+      seg_idx:   (T_cull,) int32 positions into the (P,) prob flattening,
+                 sorted by their (cell, pixel) pair; pad = P (gathers a
+                 zero prob).
+      seg_id:    (T_cull,) int32 segment in [0, U_cap) per point
+                 (non-decreasing); pad entries join the last segment
+                 (they carry zero weight).
+      pair_cell: (U_cap,) int32 BEV cell per unique pair, non-decreasing;
+                 pad = num_cells (the trash row, dropped by the splat).
+      pair_pix:  (U_cap,) int32 pixel per unique pair; pad = 0.
+      n_points / n_pairs: () int actual (unpadded) counts.
+    """
+    p = len(cell_ids)
+    if p % hw != 0:
+        raise ValueError(f"len(cell_ids)={p} not a multiple of hw={hw}")
+    valid = np.flatnonzero(cell_ids >= 0).astype(np.int32)
+    cells = cell_ids[valid].astype(np.int64)
+    pix = (valid % hw).astype(np.int64)
+    # lexicographic (cell, pixel) sort -> unique pairs are consecutive
+    order = np.argsort(cells * hw + pix, kind="stable")
+    valid, cells, pix = valid[order], cells[order], pix[order]
+    key = cells * hw + pix
+    first = np.ones(len(key), bool)
+    first[1:] = key[1:] != key[:-1]
+    seg = np.cumsum(first) - 1  # (n_points,) segment per point
+    n_points = len(valid)
+    n_pairs = int(seg[-1]) + 1 if n_points else 0
+
+    t_cap = point_capacity or _round_up(max(n_points, 1), pad_multiple)
+    u_cap = pair_capacity or _round_up(max(n_pairs, 1), pad_multiple)
+    if n_points > t_cap or n_pairs > u_cap:
+        raise ValueError(
+            f"culled plan needs {n_points} points / {n_pairs} pairs but "
+            f"capacity is {t_cap}/{u_cap} — raise bev_fusion."
+            f"splat_cull_points / splat_cull_pairs in the config"
+        )
+    seg_idx = np.full((t_cap,), p, np.int32)
+    seg_idx[:n_points] = valid
+    seg_id = np.full((t_cap,), max(n_pairs - 1, 0), np.int32)
+    seg_id[:n_points] = seg
+    pair_cell = np.full((u_cap,), num_cells, np.int32)
+    pair_pix = np.zeros((u_cap,), np.int32)
+    if n_pairs:
+        pair_cell[:n_pairs] = cells[first]
+        pair_pix[:n_pairs] = pix[first]
+    return {
+        "seg_idx": seg_idx,
+        "seg_id": seg_id,
+        "pair_cell": pair_cell,
+        "pair_pix": pair_pix,
+        "n_points": n_points,
+        "n_pairs": n_pairs,
+    }
+
+
+def _pair_weights(depth_probs, seg_idx, seg_id, num_pairs: int):
+    """(X, H', W', D) probs + culled plan -> (X, U_cap) per-pair weights.
+    Gathers only the surviving depth probs and segment-sums them into
+    their calibration-fixed (cell, pixel) groups (sorted segments)."""
+    x, fh, fw, d = depth_probs.shape
+    hw = fh * fw
+    # p = d * HW + pixel flattening, one zero row appended for pad gathers
+    flat = jnp.transpose(depth_probs, (0, 3, 1, 2)).reshape(x, d * hw)
+    flat = jnp.concatenate([flat, jnp.zeros((x, 1), flat.dtype)], axis=1)
+    p_sel = jnp.take_along_axis(flat, seg_idx, axis=1)  # (X, T_cull)
+
+    def sums_one(pv, sv):
+        return jax.ops.segment_sum(
+            pv, sv, num_segments=num_pairs, indices_are_sorted=True
+        )
+
+    return jax.vmap(sums_one)(p_sel, seg_id)
+
+
+@partial(jax.jit, static_argnames=("num_cells",))
+def lift_splat_culled_rows(
+    features: jnp.ndarray,
+    depth_logits: jnp.ndarray,
+    seg_idx: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    pair_cell: jnp.ndarray,
+    pair_pix: jnp.ndarray,
+    num_cells: int,
+) -> jnp.ndarray:
+    """Culled lift-splat: `lift_splat_matmul_rows` semantics (identical
+    adds, float summation order only) on the compacted plan from
+    `precompute_culled_pairs`.
+
+    features (X, H', W', C), depth_logits (X, H', W', D), plan rows
+    (X, T_cull) / (X, U_cap) -> (X, num_cells, C).
+
+    The dense (cells, HW) weight matrix is built by ONE sorted
+    unique-index scatter of the U pair weights (XLA skips the runtime
+    sort/dedup the full path pays for all D*H'*W' points), then the
+    feature contraction stays a dense MXU matmul.
+    """
+    x, fh, fw, c = features.shape
+    hw = fh * fw
+    depth_probs = jax.nn.softmax(depth_logits, axis=-1)
+    u_cap = pair_cell.shape[1]
+    w_pair = _pair_weights(depth_probs, seg_idx, seg_id, u_cap)  # (X, U)
+
+    def weights_one(wv, cellv, pixv):
+        # (cell, pix) pairs are lexicographically sorted and unique;
+        # pads (cell == num_cells) land in the dropped trash row
+        wt = jnp.zeros((num_cells + 1, hw), wv.dtype)
+        wt = wt.at[cellv, pixv].add(
+            wv, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return wt[:num_cells]
+
+    wt = jax.vmap(weights_one)(w_pair, pair_cell, pair_pix)  # (X, K, HW)
+    flat = features.reshape(x, hw, c)
+    return jnp.einsum("bkh,bhc->bkc", wt, flat)
+
+
+@partial(jax.jit, static_argnames=("num_cells",))
+def lift_splat_culled_gather_rows(
+    features: jnp.ndarray,
+    depth_logits: jnp.ndarray,
+    seg_idx: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    pair_cell: jnp.ndarray,
+    pair_pix: jnp.ndarray,
+    num_cells: int,
+) -> jnp.ndarray:
+    """Same semantics as `lift_splat_culled_rows` via row gather +
+    segment-sum instead of the dense weight matmul: gather each unique
+    pair's feature row, scale by the pair weight, segment-sum by BEV cell
+    (sorted segments). Skips the (cells, HW) weight matrix entirely —
+    wins when U << HW * cells / C keeps the gather under the matmul's
+    HBM traffic."""
+    x, fh, fw, c = features.shape
+    hw = fh * fw
+    depth_probs = jax.nn.softmax(depth_logits, axis=-1)
+    u_cap = pair_cell.shape[1]
+    w_pair = _pair_weights(depth_probs, seg_idx, seg_id, u_cap)  # (X, U)
+    flat = features.reshape(x, hw, c)
+
+    def one(fv, wv, cellv, pixv):
+        rows = fv[pixv] * wv[:, None]  # (U, C)
+        out = jax.ops.segment_sum(
+            rows, cellv, num_segments=num_cells + 1, indices_are_sorted=True
+        )
+        return out[:num_cells]
+
+    return jax.vmap(one)(flat, w_pair, pair_cell, pair_pix)
 
 
 @partial(jax.jit, static_argnames=("num_cells",))

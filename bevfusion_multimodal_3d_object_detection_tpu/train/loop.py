@@ -116,6 +116,15 @@ def _model_kwargs(spec: DetectorSpec, batch: Dict):
             batch["camera_local_ids"],
             batch["camera_block_idx"],
         )
+    if spec.use_camera and "camera_seg_idx" in batch:
+        # culled pair plans (splat_mode: culled) — differentiable, used by
+        # training and inference alike (ops/bev_splat.precompute_culled_pairs)
+        kwargs["camera_pairs"] = (
+            batch["camera_seg_idx"],
+            batch["camera_seg_id"],
+            batch["camera_pair_cell"],
+            batch["camera_pair_pix"],
+        )
     return kwargs
 
 

@@ -183,6 +183,78 @@ def test_lift_splat_matmul_matches_scatter():
     np.testing.assert_allclose(got_rows, want_rows, atol=1e-5, rtol=1e-5)
 
 
+def test_lift_splat_culled_matches_matmul():
+    """The calibration-time culled + (cell, pixel)-deduped plan reproduces
+    `lift_splat_matmul_rows` exactly up to float summation order — both the
+    dense sorted-unique-scatter formulation and the gather+segment-sum one
+    (VERDICT r03 #3)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        lift_splat_culled_gather_rows,
+        lift_splat_culled_rows,
+        lift_splat_matmul_rows,
+        precompute_culled_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    x, fh, fw, c, d, num_cells = 3, 4, 6, 16, 7, 100
+    hw = fh * fw
+    feats = rng.randn(x, fh, fw, c).astype(np.float32)
+    logits = rng.randn(x, fh, fw, d).astype(np.float32)
+    # ~60% out of range, many duplicate (cell, pixel) pairs (small cell pool)
+    cells_rows = np.where(
+        rng.rand(x, d * hw) < 0.6,
+        -1,
+        rng.randint(0, num_cells, (x, d * hw)),
+    ).astype(np.int32)
+
+    plans = [
+        precompute_culled_pairs(
+            cells_rows[i], hw, num_cells, pad_multiple=64
+        )
+        for i in range(x)
+    ]
+    t_cap = max(p["seg_idx"].shape[0] for p in plans)
+    u_cap = max(p["pair_cell"].shape[0] for p in plans)
+    plans = [
+        precompute_culled_pairs(
+            cells_rows[i], hw, num_cells,
+            point_capacity=t_cap, pair_capacity=u_cap,
+        )
+        for i in range(x)
+    ]
+    stack = lambda k: jnp.asarray(np.stack([p[k] for p in plans]))
+
+    want = np.asarray(
+        lift_splat_matmul_rows(
+            jnp.asarray(feats), jnp.asarray(logits),
+            jnp.asarray(cells_rows), num_cells,
+        )
+    )
+    for fn in (lift_splat_culled_rows, lift_splat_culled_gather_rows):
+        got = np.asarray(
+            fn(
+                jnp.asarray(feats), jnp.asarray(logits),
+                stack("seg_idx"), stack("seg_id"),
+                stack("pair_cell"), stack("pair_pix"),
+                num_cells,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # the plan actually culls: fewer points than the full frustum stream,
+    # and dedup leaves at most one pair per surviving (cell, pixel)
+    assert plans[0]["n_points"] < d * hw
+    assert plans[0]["n_pairs"] <= plans[0]["n_points"]
+
+    # capacity overflow is a hard error, never a silent drop
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        precompute_culled_pairs(
+            cells_rows[0], hw, num_cells, point_capacity=1
+        )
+
+
 def test_geometric_pallas_splat_matches_matmul():
     """splat_mode='pallas' + chunk plans through GeometricCameraBEV equals
     the matmul formulation; during train=True it falls back to matmul
@@ -245,7 +317,173 @@ def test_geometric_pallas_splat_matches_matmul():
     )
 
 
-def test_dataset_chunk_plans_roundtrip():
+def test_geometric_culled_splat_matches_matmul_module():
+    """splat_mode='culled' + pair plans through GeometricCameraBEV equals
+    the matmul formulation, in BOTH eval and train (the culled path is
+    differentiable, unlike pallas)."""
+    import jax
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        BEVFusionSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models.fusion import (
+        GeometricCameraBEV,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
+        precompute_culled_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    b, n, fh, fw, c, d = 1, 2, 4, 6, 8, 5
+    hw = fh * fw
+    num_cells = 100
+    feats = jnp.asarray(rng.rand(b, n, fh, fw, c), jnp.float32)
+    cells_np = rng.randint(-1, num_cells, (b, n, d, fh, fw)).astype(np.int32)
+    cells = jnp.asarray(cells_np)
+
+    spec_mm = BEVFusionSpec(
+        bev_h=10, bev_w=10, bev_channels=16, depth_bins=d,
+        splat_mode="matmul",
+    )
+    spec_cu = BEVFusionSpec(
+        bev_h=10, bev_w=10, bev_channels=16, depth_bins=d,
+        splat_mode="culled",
+    )
+    mod_mm = GeometricCameraBEV(spec=spec_mm)
+    mod_cu = GeometricCameraBEV(spec=spec_cu)
+    variables = mod_mm.init({"params": jax.random.PRNGKey(0)}, feats, cells)
+
+    plans = [
+        precompute_culled_pairs(
+            cells_np[0, i].reshape(-1), hw, num_cells,
+            point_capacity=d * hw, pair_capacity=d * hw,
+        )
+        for i in range(n)
+    ]
+    pairs = tuple(
+        jnp.asarray(np.stack([p[k] for p in plans]))[None]
+        for k in ("seg_idx", "seg_id", "pair_cell", "pair_pix")
+    )
+
+    want = mod_mm.apply(variables, feats, cells)
+    # the culled branch never reads camera_cells — pass None like the
+    # dataset does in culled mode
+    got = mod_cu.apply(variables, feats, None, camera_pairs=pairs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+    want_tr, _ = mod_mm.apply(
+        variables, feats, cells, train=True, mutable=["batch_stats"]
+    )
+    got_tr, _ = mod_cu.apply(
+        variables, feats, None, train=True, camera_pairs=pairs,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_tr), np.asarray(want_tr), atol=1e-4, rtol=1e-4
+    )
+
+    # gradients flow through the culled splat (pallas can't do this)
+    def loss_fn(v):
+        return jnp.sum(
+            mod_cu.apply(v, feats, None, camera_pairs=pairs) ** 2
+        )
+
+    g = jax.grad(loss_fn)(variables)
+    gnorm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_dataset_pair_plans_and_culled_train_step(tmp_path):
+    """splat_mode: culled end-to-end: the dataset emits pair plans for
+    EVERY split (differentiable path), omits raw camera_cells, and the
+    jitted train step consumes them."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.converter import (
+        write_synthetic_infos,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        NuScenesDataset,
+    )
+
+    root = str(tmp_path / "nusc")
+    write_synthetic_infos(root, samples_per_split=2)
+    # back the infos with real tiny files so __getitem__ can load samples
+    import pickle
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    with open(f"{root}/nuscenes_infos_train.pkl", "rb") as f:
+        infos = pickle.load(f)["infos"]
+    for info in infos:
+        (rng.randn(64, 5).astype(np.float32)).tofile(info["lidar_path"])
+        for cam in info["cams"].values():
+            Image.fromarray(
+                rng.randint(0, 255, (36, 60, 3), np.uint8)
+            ).save(f"{root}/{cam['filename']}")
+    config = {
+        "dataset": {
+            "data_root": root,
+            "cameras": {"image_size": [32, 64]},
+            "max_points": {"lidar": 64, "radar_per_sensor": 8},
+        },
+        "model": {
+            "bev_fusion": {
+                "camera_to_bev": "geometric",
+                "splat_mode": "culled",
+                "depth_bins": 4,
+            }
+        },
+    }
+    ds = NuScenesDataset(data_root=root, split="train", config=config)
+    assert ds.return_camera_pairs and not ds.return_camera_cells
+    s = ds[0]
+    assert "camera_cells" not in s
+    n_cam = s["camera_seg_idx"].shape[0]
+    assert s["camera_seg_idx"].shape == s["camera_seg_id"].shape
+    assert s["camera_pair_cell"].shape == s["camera_pair_pix"].shape
+    assert s["camera_seg_idx"].shape[0] == n_cam
+    # capacities are static across samples
+    s1 = ds[1]
+    assert s1["camera_seg_idx"].shape == s["camera_seg_idx"].shape
+    assert s1["camera_pair_cell"].shape == s["camera_pair_cell"].shape
+
+    # one jitted train step consumes the pair plans (differentiable path)
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        TrainSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    spec = DetectorSpec.from_config(config)
+    assert spec.bev.splat_mode == "culled"
+    model = MultiModal3DDetector(spec=spec)
+
+    def pad_gt(x, n=8, fill=0):
+        out = np.full((n,) + x.shape[1:], fill, x.dtype)
+        out[: len(x)] = x
+        return out
+
+    batch = {}
+    for k in s:
+        if not isinstance(s[k], np.ndarray):
+            continue
+        if k.startswith("gt_"):
+            fill = -1 if k == "gt_labels" else 0
+            batch[k] = np.stack([pad_gt(s[k], fill=fill),
+                                 pad_gt(s1[k], fill=fill)])
+        else:
+            batch[k] = np.stack([s[k], s1[k]])
+    trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
+    trainer.init_state(batch)
+    _, losses = trainer.train_step(trainer.state, batch, trainer.rng)
+    assert np.isfinite(float(losses["total_loss"]))
     """return_camera_chunks: plans match a direct precompute from the
     sample's own camera_cells and are cached across samples."""
     from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
