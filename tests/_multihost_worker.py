@@ -130,12 +130,37 @@ def main():
         trainer.state, global_batch, trainer.rng
     ).compile()
     barrier("train_step_compiled", timeout_s=900.0)
+    # Warm the Gloo collective context with one tiny all-reduce BEFORE the
+    # big step: Gloo pair setup happens lazily at the first collective and
+    # has its own internal 30 s GetKeyValue deadline, which the multi-minute
+    # multi-collective train step can starve past on the loaded 1-core host
+    # (observed flake). After this, the step's collectives reuse the
+    # established context.
+    warm = float(jax.jit(lambda a: a.sum())(global_batch["gt_labels"]))
+    assert warm == warm  # finite
+    barrier("gloo_warmed", timeout_s=900.0)
+    import numpy as _np
+
+    # host copy BEFORE the step: train_step donates the state, which
+    # invalidates the old params buffers
+    init_leaf = _np.asarray(jax.tree_util.tree_leaves(trainer.state.params)[0])
     state, losses = compiled(trainer.state, global_batch, trainer.rng)
     # param delta fingerprint: must match across processes AND the
     # single-process run (full replication => identical updates)
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     print(f"MULTIHOST_LOSS {float(losses['total_loss']):.10f}", flush=True)
     print(f"MULTIHOST_LEAF {float(jax.numpy.sum(leaf)):.10f}", flush=True)
+    # scale for the signed-sum fingerprint: the signed sum of a
+    # near-zero-mean weight leaf cancels to ~1e-4 of its L1, so a relative
+    # check on it amplifies the sharded-psum float reassociation (~1e-4
+    # rel, see CLAUDE.md) arbitrarily. The parent instead bounds
+    # |delta_sum| by the L1 norm of the OPTIMIZER UPDATE itself — the
+    # magnitude a real gradient/optimizer divergence would move the sum by
+    print(
+        f"MULTIHOST_LEAF_UPD_L1 "
+        f"{float(jax.numpy.sum(jax.numpy.abs(leaf - init_leaf))):.10f}",
+        flush=True,
+    )
     # BatchNorm batch_stats fingerprint: running means/vars updated from the
     # GLOBAL batch statistics (a per-shard-mean bug would show up here)
     bn = sum(

@@ -81,7 +81,7 @@ def test_two_process_train_step_matches_single_process(tiny_spec):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 
-    losses_seen, leaves_seen, bn_seen = [], [], []
+    losses_seen, leaves_seen, l1_seen, bn_seen = [], [], [], []
     for out in outs:
         m = re.search(r"MULTIHOST_LOSS ([\d.eE+-]+)", out)
         assert m, out[-4000:]
@@ -89,17 +89,27 @@ def test_two_process_train_step_matches_single_process(tiny_spec):
         m = re.search(r"MULTIHOST_LEAF ([\d.eE+-]+)", out)
         assert m, out[-4000:]
         leaves_seen.append(float(m.group(1)))
+        m = re.search(r"MULTIHOST_LEAF_UPD_L1 ([\d.eE+-]+)", out)
+        assert m, out[-4000:]
+        l1_seen.append(float(m.group(1)))
         m = re.search(r"MULTIHOST_BN ([\d.eE+-]+)", out)
         assert m, out[-4000:]
         bn_seen.append(float(m.group(1)))
 
     # the two processes agree with each other bit-exactly (same global
     # computation); the single-process reference matches up to float
-    # reduction reassociation from the sharded psum (~1e-4 rel on f32)
+    # reduction reassociation from the sharded psum (~1e-4 rel on f32).
+    # The params fingerprint is a SIGNED sum of a near-zero-mean 131k-entry
+    # kernel — cancellation makes its signed sum ~1e-4 of the leaf's L1, so
+    # a relative check on it amplifies reassociation noise arbitrarily
+    # (observed: |delta| 7.5e-4 on sum 0.646 = rel 1.2e-3, purely float
+    # order). Bound |delta_sum| by the optimizer UPDATE's L1 instead: the
+    # reassociation drift is ~6e-6 of it, while a real gradient/optimizer
+    # divergence moves the sum by order of the update itself.
     assert losses_seen[0] == pytest.approx(losses_seen[1], abs=1e-6)
     assert want_loss == pytest.approx(losses_seen[0], rel=2e-4)
     assert leaves_seen[0] == pytest.approx(leaves_seen[1], abs=1e-6)
-    assert want_leaf == pytest.approx(leaves_seen[0], rel=5e-4)
+    assert abs(want_leaf - leaves_seen[0]) <= 2e-4 * l1_seen[0] + 1e-6
     # BatchNorm running stats were updated from GLOBAL batch statistics
     assert bn_seen[0] == pytest.approx(bn_seen[1], abs=1e-6)
     assert want_bn == pytest.approx(bn_seen[0], rel=5e-4)
