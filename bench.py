@@ -477,11 +477,16 @@ def main() -> None:
                 got_phase = True
                 continue
             if line.startswith("RESULT "):
-                got_any = True
                 try:
-                    reporter.record(json.loads(line[len("RESULT "):]))
+                    res = json.loads(line[len("RESULT "):])
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                reporter.record(res)
+                # meta lines (device banner) are progress, not measurements —
+                # counting them as results would suppress the kill-and-respawn
+                # retry when the child dies before producing any number
+                if res.get("kind") != "meta":
+                    got_any = True
         try:
             rc = proc.wait(timeout=10)
         except subprocess.TimeoutExpired:

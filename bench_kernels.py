@@ -232,7 +232,7 @@ def _bench_liftsplat_culled(results):
         lift_splat_culled_gather_rows,
         lift_splat_culled_rows,
         lift_splat_matmul_rows,
-        precompute_culled_pairs,
+        precompute_culled_pairs_batch,
         precompute_frustum_cells,
     )
 
@@ -276,27 +276,11 @@ def _bench_liftsplat_culled(results):
             results[f"liftsplat_ring_matmul_{tag}_ms"] = dt * 1e3
             print(f"# liftsplat_ring_matmul {tag}: {dt * 1e3:.3f} ms")
 
-            sizes = [
-                precompute_culled_pairs(
-                    cells_np[i], hw, num_cells, pad_multiple=1
-                )
-                for i in range(rows)
-            ]
-            t_cap = max(
-                1024, -(-max(p["n_points"] for p in sizes) // 1024) * 1024
+            plans, (t_cap, u_cap) = precompute_culled_pairs_batch(
+                cells_np, hw, num_cells
             )
-            u_cap = max(
-                1024, -(-max(p["n_pairs"] for p in sizes) // 1024) * 1024
-            )
-            plans = [
-                precompute_culled_pairs(
-                    cells_np[i], hw, num_cells,
-                    point_capacity=t_cap, pair_capacity=u_cap,
-                )
-                for i in range(rows)
-            ]
             args = tuple(
-                jnp.asarray(np.stack([p[k] for p in plans]))
+                jnp.asarray(plans[k])
                 for k in ("seg_idx", "seg_id", "pair_cell", "pair_pix")
             )
             for name, op in (
@@ -563,7 +547,7 @@ def bench_geomodel(results):
         MultiModal3DDetector,
     )
     from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_splat import (
-        precompute_culled_pairs,
+        precompute_culled_pairs_batch,
         precompute_frustum_cells,
     )
     from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
@@ -603,22 +587,10 @@ def bench_geomodel(results):
         )
     cells_np = np.stack(cells_cams)  # (N, D, H', W')
 
-    sizes = [
-        precompute_culled_pairs(
-            c.reshape(-1), fh * fw, num_cells, pad_multiple=1
-        )
-        for c in cells_cams
-    ]
-    t_cap = max(1024, -(-max(p["n_points"] for p in sizes) // 1024) * 1024)
-    u_cap = max(1024, -(-max(p["n_pairs"] for p in sizes) // 1024) * 1024)
-    plans = [
-        precompute_culled_pairs(
-            c.reshape(-1), fh * fw, num_cells,
-            point_capacity=t_cap, pair_capacity=u_cap,
-        )
-        for c in cells_cams
-    ]
-    keep = float(max(p["n_points"] for p in sizes)) / cells_np[0].size
+    plans, (t_cap, u_cap) = precompute_culled_pairs_batch(
+        cells_cams, fh * fw, num_cells
+    )
+    keep = float(plans["n_points"].max()) / cells_np[0].size
     print(
         f"# geomodel calibration: D={d} {fh}x{fw} feat, {bev_hw[0]}x"
         f"{bev_hw[1]} BEV — culled keeps {keep:.1%} of frustum points "
@@ -642,10 +614,7 @@ def bench_geomodel(results):
     )
     pairs = tuple(
         jnp.asarray(
-            np.broadcast_to(
-                np.stack([p[k] for p in plans]),
-                (bs, n_cams) + plans[0][k].shape,
-            ).copy()
+            np.broadcast_to(plans[k], (bs,) + plans[k].shape).copy()
         )
         for k in ("seg_idx", "seg_id", "pair_cell", "pair_pix")
     )

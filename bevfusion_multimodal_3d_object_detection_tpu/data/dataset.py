@@ -207,6 +207,10 @@ class NuScenesDataset:
             if cull_points and cull_pairs
             else None
         )
+        # guards the one-time capacity derivation: without it, two loader
+        # threads could size caps from DIFFERENT samples and emit
+        # mixed-shape plans into the same batch
+        self._cull_caps_lock = threading.Lock()
         self.use_native = use_native
         self.emit_uint8 = emit_uint8
         self.num_sweeps = num_sweeps
@@ -470,29 +474,26 @@ class NuScenesDataset:
         """Per-camera culled + (cell, pixel)-deduped splat plans
         (ops.bev_splat.precompute_culled_pairs) for splat_mode: culled:
         seg_idx / seg_id (N, T_cull), pair_cell / pair_pix (N, U_cap).
-        Capacities are fixed on first use (5% headroom + round-up over the
-        first calibration, or the config's splat_cull_points/pairs) so batch
-        shapes stay static; a later sample overflowing them raises with the
-        config keys to set. Cached by cells bytes like the chunk plans."""
-        from ..ops.bev_splat import _round_up, precompute_culled_pairs
+        Capacities are fixed once (5% headroom over SAMPLE 0's calibration
+        — deterministic regardless of which sample a loader thread touches
+        first, so plan shapes agree across threads, epochs, and hosts — or
+        the config's splat_cull_points/pairs) so batch shapes stay static;
+        a later sample overflowing them raises with the config keys to
+        set. Cached by cells bytes like the chunk plans."""
+        from ..ops.bev_splat import (
+            precompute_culled_pairs,
+            precompute_culled_pairs_batch,
+        )
 
         num_cells = self.bev_h * self.bev_w
         hw = camera_cells.shape[-2] * camera_cells.shape[-1]
         if self._cull_caps is None:
-            sizes = [
-                precompute_culled_pairs(
-                    c.reshape(-1), hw, num_cells, pad_multiple=1
-                )
-                for c in camera_cells
-            ]
-            self._cull_caps = (
-                _round_up(
-                    int(max(p["n_points"] for p in sizes) * 1.05) + 1, 1024
-                ),
-                _round_up(
-                    int(max(p["n_pairs"] for p in sizes) * 1.05) + 1, 1024
-                ),
-            )
+            with self._cull_caps_lock:
+                if self._cull_caps is None:
+                    ref_cells = self._frustum_cells(self.infos[0])
+                    _, self._cull_caps = precompute_culled_pairs_batch(
+                        ref_cells, hw, num_cells, headroom=1.05
+                    )
         t_cap, u_cap = self._cull_caps
         per_cam = []
         for cam_cells in camera_cells:  # (D, H', W')
@@ -623,7 +624,11 @@ def collate_fn(
     }
     if "camera_cells" in samples[0]:
         out["camera_cells"] = np.stack([s["camera_cells"] for s in samples])
-    for k in ("camera_point_idx", "camera_local_ids", "camera_block_idx"):
+    for k in (
+        "camera_point_idx", "camera_local_ids", "camera_block_idx",
+        "camera_seg_idx", "camera_seg_id",
+        "camera_pair_cell", "camera_pair_pix",
+    ):
         if k in samples[0]:
             out[k] = np.stack([s[k] for s in samples])
     gt_boxes = np.zeros((batch_size, max_objects, 7), np.float32)

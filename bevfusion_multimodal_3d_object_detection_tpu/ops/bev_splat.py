@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bev_pool_pallas import DEFAULT_WINDOW
+from .bev_pool_pallas import DEFAULT_WINDOW, _round_up
 
 
 @partial(jax.jit, static_argnames=("num_cells",))
@@ -232,10 +232,6 @@ def lift_splat_pallas_rows(
     )
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def precompute_culled_pairs(
     cell_ids: np.ndarray,
     hw: int,
@@ -277,8 +273,14 @@ def precompute_culled_pairs(
                  (non-decreasing); pad entries join the last segment
                  (they carry zero weight).
       pair_cell: (U_cap,) int32 BEV cell per unique pair, non-decreasing;
-                 pad = num_cells (the trash row, dropped by the splat).
-      pair_pix:  (U_cap,) int32 pixel per unique pair; pad = 0.
+                 pad entry k = num_cells + k // hw (trash rows, dropped by
+                 the splat).
+      pair_pix:  (U_cap,) int32 pixel per unique pair; pad entry k =
+                 k % hw. Pads are spread over DISTINCT (cell, pixel)
+                 coordinates so consumers scattering with
+                 unique_indices=True stay within the documented contract
+                 (duplicate indices under that flag are undefined
+                 behavior, even in a sliced-off trash row).
       n_points / n_pairs: () int actual (unpadded) counts.
     """
     p = len(cell_ids)
@@ -309,8 +311,13 @@ def precompute_culled_pairs(
     seg_idx[:n_points] = valid
     seg_id = np.full((t_cap,), max(n_pairs - 1, 0), np.int32)
     seg_id[:n_points] = seg
-    pair_cell = np.full((u_cap,), num_cells, np.int32)
-    pair_pix = np.zeros((u_cap,), np.int32)
+    # distinct pad coordinates (see docstring): all >= (num_cells, 0), so
+    # they sort after every real pair and keep the sorted+unique contract
+    pad_k = np.arange(u_cap - n_pairs)
+    pair_cell = np.empty((u_cap,), np.int32)
+    pair_pix = np.empty((u_cap,), np.int32)
+    pair_cell[n_pairs:] = num_cells + pad_k // hw
+    pair_pix[n_pairs:] = pad_k % hw
     if n_pairs:
         pair_cell[:n_pairs] = cells[first]
         pair_pix[:n_pairs] = pix[first]
@@ -322,6 +329,58 @@ def precompute_culled_pairs(
         "n_points": n_points,
         "n_pairs": n_pairs,
     }
+
+
+def precompute_culled_pairs_batch(
+    camera_cells,
+    hw: int,
+    num_cells: int,
+    point_capacity: int = 0,
+    pair_capacity: int = 0,
+    headroom: float = 1.0,
+    pad_multiple: int = 1024,
+) -> Tuple[dict, Tuple[int, int]]:
+    """Shared-capacity culled plans for a stack of cameras.
+
+    The one home of the capacity-sizing policy (dataset loading and the
+    benches previously each re-derived it): explicit nonzero capacities
+    win; otherwise each capacity is the max actual count across cameras,
+    scaled by `headroom`, +1 (so an exact-fit plan keeps a nonzero pad
+    region and later overflow raises instead of silently reshaping),
+    rounded up to `pad_multiple`.
+
+    Args:
+      camera_cells: iterable of per-camera flat cell-id arrays (any shape;
+        reshaped to (P,)), e.g. rows of `precompute_frustum_cells` output.
+    Returns (plans, (t_cap, u_cap)): plans stacks each per-camera plan
+    key along a new leading axis (scalar counts become (N,) arrays).
+    """
+    rows = [np.asarray(c).reshape(-1) for c in camera_cells]
+    if not (point_capacity and pair_capacity):
+        sizes = [
+            precompute_culled_pairs(r, hw, num_cells, pad_multiple=1)
+            for r in rows
+        ]
+
+        def cap(key: str) -> int:
+            worst = max(p[key] for p in sizes)
+            return _round_up(
+                max(int(worst * headroom) + 1, 1), pad_multiple
+            )
+
+        point_capacity = point_capacity or cap("n_points")
+        pair_capacity = pair_capacity or cap("n_pairs")
+    plans = [
+        precompute_culled_pairs(
+            r, hw, num_cells,
+            point_capacity=point_capacity, pair_capacity=pair_capacity,
+        )
+        for r in rows
+    ]
+    stacked = {
+        k: np.stack([np.asarray(p[k]) for p in plans]) for k in plans[0]
+    }
+    return stacked, (point_capacity, pair_capacity)
 
 
 def _pair_weights(depth_probs, seg_idx, seg_id, num_pairs: int):
@@ -371,10 +430,15 @@ def lift_splat_culled_rows(
     u_cap = pair_cell.shape[1]
     w_pair = _pair_weights(depth_probs, seg_idx, seg_id, u_cap)  # (X, U)
 
+    # pads occupy distinct (num_cells + k // hw, k % hw) coordinates (the
+    # precompute spreads them so unique_indices=True holds for EVERY entry,
+    # not just the live ones); size the trash region to hold the worst case
+    trash_rows = 1 + (u_cap - 1) // hw
+
     def weights_one(wv, cellv, pixv):
         # (cell, pix) pairs are lexicographically sorted and unique;
-        # pads (cell == num_cells) land in the dropped trash row
-        wt = jnp.zeros((num_cells + 1, hw), wv.dtype)
+        # pads (cell >= num_cells) land in the dropped trash rows
+        wt = jnp.zeros((num_cells + trash_rows, hw), wv.dtype)
         wt = wt.at[cellv, pixv].add(
             wv, mode="drop", unique_indices=True, indices_are_sorted=True
         )
@@ -410,6 +474,9 @@ def lift_splat_culled_gather_rows(
 
     def one(fv, wv, cellv, pixv):
         rows = fv[pixv] * wv[:, None]  # (U, C)
+        # pad cells are >= num_cells (distinct trash coordinates): cell ==
+        # num_cells lands in the sliced-off row, larger ones are dropped
+        # as out-of-range segments; pad weights are zero either way
         out = jax.ops.segment_sum(
             rows, cellv, num_segments=num_cells + 1, indices_are_sorted=True
         )

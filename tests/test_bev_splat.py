@@ -465,25 +465,24 @@ def test_dataset_pair_plans_and_culled_train_step(tmp_path):
     assert spec.bev.splat_mode == "culled"
     model = MultiModal3DDetector(spec=spec)
 
-    def pad_gt(x, n=8, fill=0):
-        out = np.full((n,) + x.shape[1:], fill, x.dtype)
-        out[: len(x)] = x
-        return out
+    # through the REAL collate so a regression dropping the pair-plan keys
+    # from the batch (as an early version did) fails here
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        collate_fn,
+    )
 
-    batch = {}
-    for k in s:
-        if not isinstance(s[k], np.ndarray):
-            continue
-        if k.startswith("gt_"):
-            fill = -1 if k == "gt_labels" else 0
-            batch[k] = np.stack([pad_gt(s[k], fill=fill),
-                                 pad_gt(s1[k], fill=fill)])
-        else:
-            batch[k] = np.stack([s[k], s1[k]])
+    batch = collate_fn([s, s1], max_objects=8)
+    batch.pop("tokens")
+    for k in ("camera_seg_idx", "camera_seg_id",
+              "camera_pair_cell", "camera_pair_pix"):
+        assert k in batch and batch[k].shape[0] == 2, k
     trainer = Trainer(model, TrainSpec(batch_size=2), CompatFlags())
     trainer.init_state(batch)
     _, losses = trainer.train_step(trainer.state, batch, trainer.rng)
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_dataset_chunk_plans_roundtrip():
     """return_camera_chunks: plans match a direct precompute from the
     sample's own camera_cells and are cached across samples."""
     from bevfusion_multimodal_3d_object_detection_tpu.ops.bev_pool_pallas import (
