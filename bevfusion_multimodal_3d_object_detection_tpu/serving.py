@@ -52,6 +52,7 @@ class InferenceServer:
         use_pallas: bool = False,
         variables: Optional[Dict] = None,
         mesh=None,
+        aot_path: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -160,6 +161,18 @@ class InferenceServer:
             )
 
         self._serve = _serve
+        if aot_path is not None:
+            # AOT deployment (utils/aot.py): replace the jitted trace with
+            # the deserialized StableHLO artifact — no model retrace, and
+            # startup validates shapes/dtype/modalities against the config
+            if mesh is not None:
+                raise ValueError(
+                    "aot_path and mesh are mutually exclusive: the AOT "
+                    "artifact was traced unpartitioned"
+                )
+            from .utils.aot import attach_aot_serving
+
+            self.aot_meta = attach_aot_serving(self, aot_path)
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         # serializes submit()'s stopped-check+put against stop()'s drain so

@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="shard each serving batch over this many devices "
                     "(multi-chip serving; batch-size must divide by it)")
+    ap.add_argument("--aot", default=None, metavar="PATH",
+                    help="serve from an AOT artifact (utils/aot.py) instead "
+                    "of retracing the model — validates shapes at startup")
+    ap.add_argument("--export-aot", default=None, metavar="PATH",
+                    help="export the serving graph as a portable AOT "
+                    "artifact (StableHLO, tpu+cpu) and exit")
     args = ap.parse_args()
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
@@ -89,8 +95,25 @@ def main() -> None:
         fold_bn=not args.no_fold_bn,
         use_pallas=args.pallas,
         mesh=mesh,
+        aot_path=args.aot,
     )
-    print(f"Compiling serving graph (batch={args.batch_size}) ...")
+    if args.export_aot:
+        from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+            export_serving_artifact,
+        )
+
+        meta = export_serving_artifact(server, args.export_aot)
+        print(
+            f"AOT artifact written to {args.export_aot} "
+            f"(batch={meta['batch_size']}, signatures={meta['signatures']}, "
+            f"platforms={meta['platforms']})"
+        )
+        return
+    if args.aot:
+        print(f"Loading AOT serving graph from {args.aot} "
+              f"(batch={args.batch_size}) ...")
+    else:
+        print(f"Compiling serving graph (batch={args.batch_size}) ...")
     with server:  # warmup compile happens in start()
         httpd = make_http_server(
             server, args.host, args.port,

@@ -1,0 +1,134 @@
+"""AOT serving artifacts (utils/aot.py): jax.export roundtrip parity with
+the live jitted serving graph, both wire signatures, and startup
+validation of mismatched artifacts. The reference has no deployment
+artifact beyond the raw .pth (ref: inference.py:24-52)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from conftest import tiny_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        load_config,
+    )
+
+    cfg = load_config(
+        str(pathlib.Path(__file__).parents[1] / "configs" / "base.yaml")
+    )
+    cfg["model"]["camera_encoder"]["input_size"] = [32, 64]
+    cfg["dataset"]["cameras"]["image_size"] = [32, 64]
+    cfg["dataset"]["max_points"] = {"lidar": 256, "radar_per_sensor": 16}
+    cfg["model"]["lidar_encoder"]["max_points"] = 256
+    cfg["model"]["radar_encoder"]["max_points_per_sensor"] = 16
+    return cfg
+
+
+def _sample(seed=3, uint8=False):
+    batch = tiny_batch(batch_size=1, seed=seed)
+    s = {
+        "camera_imgs": batch["camera_imgs"][0],
+        "lidar_points": batch["lidar_points"][0],
+        "radar_points": batch["radar_points"][0],
+    }
+    if uint8:
+        s["camera_imgs"] = (
+            np.clip(s["camera_imgs"], 0, 1) * 255
+        ).astype(np.uint8)
+    return s
+
+
+def test_aot_roundtrip_matches_live_graph(tiny_config, tmp_path):
+    """An exported+reloaded serving graph returns the same detections as
+    the live jit, for BOTH wire signatures (f32 and uint8 cameras)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+        export_serving_artifact,
+    )
+
+    live = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+    )
+    path = tmp_path / "serving.aot.npz"
+    meta = export_serving_artifact(live, path, platforms=("cpu",))
+    assert meta["batch_size"] == 2
+    assert sorted(meta["signatures"]) == ["f32", "u8"]
+    assert meta["modalities"] == {
+        "camera": True, "lidar": True, "radar": True,
+    }
+
+    aot = InferenceServer(
+        config=tiny_config, batch_size=2, max_delay_ms=1.0,
+        use_bf16=False, fold_bn=False, score_threshold=0.0,
+        variables=live.variables, aot_path=str(path),
+    )
+    assert aot.aot_meta["format"] == "bmod-aot-v1"
+
+    samples = [_sample(uint8=u) for u in (False, True)]
+    with live:
+        wants = [live.infer(dict(s)) for s in samples]
+    with aot:
+        gots = [aot.infer(dict(s)) for s in samples]
+    for got, want in zip(gots, wants):
+        np.testing.assert_allclose(
+            got["boxes"], want["boxes"], atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            got["scores"], want["scores"], atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_array_equal(got["labels"], want["labels"])
+
+
+def test_aot_artifact_validation(tiny_config, tmp_path):
+    """Mismatched batch size / dtype / random files fail at STARTUP with a
+    clear error, never mid-request."""
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+        export_serving_artifact,
+    )
+
+    src = InferenceServer(
+        config=tiny_config, batch_size=2,
+        use_bf16=False, fold_bn=False,
+    )
+    path = tmp_path / "serving.aot.npz"
+    export_serving_artifact(src, path, platforms=("cpu",))
+
+    with pytest.raises(ValueError, match="batch_size"):
+        InferenceServer(
+            config=tiny_config, batch_size=4, use_bf16=False,
+            fold_bn=False, variables=src.variables, aot_path=str(path),
+        )
+    with pytest.raises(ValueError, match="dtype"):
+        InferenceServer(
+            config=tiny_config, batch_size=2, use_bf16=True,
+            fold_bn=False, variables=src.variables, aot_path=str(path),
+        )
+    # mesh + AOT is rejected (artifact was traced unpartitioned)
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "view"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        InferenceServer(
+            config=tiny_config, batch_size=2, use_bf16=False,
+            fold_bn=False, variables=src.variables, aot_path=str(path),
+            mesh=mesh,
+        )
+    # not an artifact at all
+    bogus = tmp_path / "bogus.npz"
+    np.savez(bogus, meta=np.array("{}"))
+    with pytest.raises(ValueError, match="not a bmod AOT"):
+        InferenceServer(
+            config=tiny_config, batch_size=2, use_bf16=False,
+            fold_bn=False, variables=src.variables, aot_path=str(bogus),
+        )
