@@ -492,7 +492,8 @@ class NuScenesDataset:
                 if self._cull_caps is None:
                     ref_cells = self._frustum_cells(self.infos[0])
                     _, self._cull_caps = precompute_culled_pairs_batch(
-                        ref_cells, hw, num_cells, headroom=1.05
+                        ref_cells, hw, num_cells, headroom=1.05,
+                        sizes_only=True,
                     )
         t_cap, u_cap = self._cull_caps
         per_cam = []

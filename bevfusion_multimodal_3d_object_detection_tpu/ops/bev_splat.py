@@ -25,7 +25,7 @@ stays the default (configs/base.yaml `bev_fusion`).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -339,7 +339,8 @@ def precompute_culled_pairs_batch(
     pair_capacity: int = 0,
     headroom: float = 1.0,
     pad_multiple: int = 1024,
-) -> Tuple[dict, Tuple[int, int]]:
+    sizes_only: bool = False,
+) -> Tuple[Optional[dict], Tuple[int, int]]:
     """Shared-capacity culled plans for a stack of cameras.
 
     The one home of the capacity-sizing policy (dataset loading and the
@@ -370,6 +371,10 @@ def precompute_culled_pairs_batch(
 
         point_capacity = point_capacity or cap("n_points")
         pair_capacity = pair_capacity or cap("n_pairs")
+    if sizes_only:
+        # capacity derivation only (e.g. the dataset sizes once from
+        # sample 0 and builds per-calibration plans lazily later)
+        return None, (point_capacity, pair_capacity)
     plans = [
         precompute_culled_pairs(
             r, hw, num_cells,

@@ -78,6 +78,7 @@ class InferenceServer:
                 )
         self.max_delay_s = max_delay_ms / 1000.0
         self.score_threshold = score_threshold
+        self.fold_bn = fold_bn
         # resurrected inference.post_processing (fallback: test section;
         # compat switch; ops/decode.py): score threshold + BEV NMS + cap
         self.post_process = None

@@ -29,8 +29,6 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-WIRE_SIGNATURES = ("f32", "u8")
-
 
 def _git_commit() -> Optional[str]:
     try:
@@ -57,13 +55,21 @@ def export_serving_artifact(
     import jax.numpy as jnp
     from jax import export as jexport
 
+    if getattr(server, "mesh", None) is not None:
+        raise ValueError(
+            "AOT export requires an unpartitioned server (mesh=None): "
+            "export single-chip; --data-parallel applies to live serving "
+            "only"
+        )
     cams, lidar, radars = server._zero_inputs(server.batch_size)
     spec = server.spec
-    variants = {"f32": cams}
-    if spec.use_camera:
-        # the uint8 wire (4x less host->device traffic) compiles to its own
-        # jit variant — export it too so AOT serving keeps the cheap wire
-        variants["u8"] = jnp.zeros(cams.shape, jnp.uint8)
+    # BOTH wire signatures are exported even for camera-off configs: the
+    # server warms (and clients may send) uint8 camera buffers regardless,
+    # and exported computations validate input dtypes strictly
+    variants = {
+        "f32": cams,
+        "u8": jnp.zeros(cams.shape, jnp.uint8),
+    }
     blobs = {}
     for name, c in variants.items():
         exp = jexport.export(server._serve, platforms=platforms)(
@@ -83,6 +89,7 @@ def export_serving_artifact(
             "radar": bool(spec.use_radar),
         },
         "model_dtype": str(server.model.dtype.__name__),
+        "fold_bn": bool(getattr(server, "fold_bn", False)),
         "platforms": list(platforms),
         "signatures": sorted(blobs),
         "git_commit": _git_commit(),
@@ -90,7 +97,10 @@ def export_serving_artifact(
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, meta=np.array(json.dumps(meta)), **blobs)
+    # save through a file object so np.savez cannot silently append '.npz'
+    # and diverge from the path the caller prints / passes to --aot
+    with open(path, "wb") as f:
+        np.savez(f, meta=np.array(json.dumps(meta)), **blobs)
     return meta
 
 
@@ -153,6 +163,16 @@ def attach_aot_serving(server, path) -> Dict:
             f"AOT artifact model dtype {meta['model_dtype']} does not "
             f"match the server's {server.model.dtype.__name__} — export "
             f"and serve with the same --f32 setting"
+        )
+    if "fold_bn" in meta and meta["fold_bn"] != bool(
+        getattr(server, "fold_bn", False)
+    ):
+        raise ValueError(
+            f"AOT artifact was exported with fold_bn={meta['fold_bn']} "
+            f"but the server uses fold_bn="
+            f"{bool(getattr(server, 'fold_bn', False))} — the variables "
+            f"tree baked into the traced signature differs; export and "
+            f"serve with the same --no-fold-bn setting"
         )
 
     def _serve_aot(variables, cams, lidar, radars):

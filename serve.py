@@ -54,6 +54,17 @@ def main() -> None:
                     help="export the serving graph as a portable AOT "
                     "artifact (StableHLO, tpu+cpu) and exit")
     args = ap.parse_args()
+    if args.export_aot and args.aot:
+        raise SystemExit(
+            "--export-aot and --aot are mutually exclusive (exporting "
+            "needs the live jitted trace, not a deserialized artifact)"
+        )
+    if args.export_aot and args.data_parallel > 1:
+        raise SystemExit(
+            "--export-aot requires an unpartitioned server: drop "
+            "--data-parallel for the export (artifacts are traced "
+            "single-device; --data-parallel applies to live serving only)"
+        )
 
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,

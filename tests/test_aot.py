@@ -132,3 +132,62 @@ def test_aot_artifact_validation(tiny_config, tmp_path):
             config=tiny_config, batch_size=2, use_bf16=False,
             fold_bn=False, variables=src.variables, aot_path=str(bogus),
         )
+    # fold_bn mismatch is caught at startup, not as an opaque pytree error
+    with pytest.raises(ValueError, match="fold_bn"):
+        InferenceServer(
+            config=tiny_config, batch_size=2, use_bf16=False,
+            fold_bn=True, variables=src.variables, aot_path=str(path),
+        )
+    # a mesh-sharded server cannot export (artifacts are traced
+    # unpartitioned)
+    import jax
+    from jax.sharding import Mesh
+
+    mesh1 = Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("data", "view")
+    )
+    sharded = InferenceServer(
+        config=tiny_config, batch_size=2, use_bf16=False,
+        fold_bn=False, variables=src.variables, mesh=mesh1,
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        export_serving_artifact(sharded, tmp_path / "nope.npz")
+    # an extensionless path is written EXACTLY as given (np.savez must not
+    # silently append .npz and break the documented --aot follow-up)
+    bare = tmp_path / "serving.aot"
+    export_serving_artifact(src, bare, platforms=("cpu",))
+    assert bare.exists()
+
+
+def test_aot_camera_off_config_serves_uint8_warmup(tmp_path):
+    """Camera-disabled configs still export BOTH wire signatures, so the
+    server's unconditional uint8 warmup works from an artifact."""
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+        export_serving_artifact,
+    )
+
+    cfg = {
+        "model": {
+            "modality_config": "lidar_only",
+            "lidar_encoder": {"max_points": 128},
+        },
+        "dataset": {
+            "cameras": {"image_size": [32, 64]},
+            "max_points": {"lidar": 128, "radar_per_sensor": 8},
+        },
+    }
+    src = InferenceServer(
+        config=cfg, batch_size=2, use_bf16=False, fold_bn=False,
+    )
+    path = tmp_path / "lidar.aot.npz"
+    meta = export_serving_artifact(src, path, platforms=("cpu",))
+    assert sorted(meta["signatures"]) == ["f32", "u8"]
+    aot = InferenceServer(
+        config=cfg, batch_size=2, use_bf16=False, fold_bn=False,
+        variables=src.variables, aot_path=str(path),
+    )
+    with aot:  # start(warmup=True) exercises the uint8 wire
+        pass
