@@ -187,6 +187,14 @@ class InferenceServer:
 
     # -- lifecycle -------------------------------------------------------------
     def start(self, warmup: bool = True) -> "InferenceServer":
+        if self._stop.is_set():
+            # the dispatch loop and any queued futures were torn down;
+            # restarting would run with a poisoned stop latch and hang
+            # clients — fail loudly instead
+            raise ServerStoppedError(
+                "InferenceServer cannot be restarted after stop(); "
+                "construct a new server"
+            )
         if warmup:
             # warm BOTH wire signatures (float and uint8 cameras compile to
             # different jit variants; the first uint8 request must not eat a

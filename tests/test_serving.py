@@ -238,6 +238,10 @@ def test_stop_fails_queued_futures(tiny_config):
     server.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         fut.result(timeout=5)
+    # a stopped server cannot be restarted (the dispatch loop and queue
+    # were torn down); failing loudly beats hanging clients
+    with pytest.raises(RuntimeError, match="restarted"):
+        server.start(warmup=False)
 
 
 def test_mixed_wire_batch_normalizes_uint8(tiny_config):
