@@ -46,10 +46,24 @@ class ClientError(ValueError):
         self.status = status
 
 
+# the serving wire contract (serving.py _validate): anything else a dataset
+# sample carries — token strings, gt_* arrays, plan arrays — is not model
+# input and must not be shipped (a raw dataset[i] is the natural argument)
+WIRE_KEYS = ("camera_imgs", "lidar_points", "radar_points")
+
+
 def encode_npz(sample: Dict[str, np.ndarray]) -> bytes:
-    """np.savez the sample dict. uint8 arrays (camera images on the compact
-    wire — serving.py normalizes on device) stay uint8; everything else is
-    cast to float32."""
+    """np.savez the model-input keys of the sample dict. uint8 arrays
+    (camera images on the compact wire — serving.py normalizes on device)
+    stay uint8; everything else is cast to float32. Non-wire keys (token,
+    gt_*, precomputed plans) are dropped so `client.infer(dataset[i])`
+    works as-is."""
+    wire = {k: sample[k] for k in WIRE_KEYS if k in sample}
+    if not wire:
+        raise ValueError(
+            f"sample has none of the wire keys {WIRE_KEYS}; got "
+            f"{sorted(sample)}"
+        )
     buf = io.BytesIO()
     np.savez(
         buf,
@@ -59,7 +73,7 @@ def encode_npz(sample: Dict[str, np.ndarray]) -> bytes:
                 if np.asarray(v).dtype == np.uint8
                 else np.asarray(v, np.float32)
             )
-            for k, v in sample.items()
+            for k, v in wire.items()
         },
     )
     return buf.getvalue()

@@ -41,7 +41,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not _SO.exists() and not _build():
+    src = _CSRC / "pointprep.cc"
+    stale = (
+        _SO.exists()
+        and src.exists()
+        and src.stat().st_mtime > _SO.stat().st_mtime
+    )
+    if (not _SO.exists() or stale) and not _build():
+        # no .so, or only a stale one that would silently run OLD native
+        # code against new Python expectations — fall back to numpy
         return None
     try:
         lib = ctypes.CDLL(str(_SO))

@@ -20,7 +20,12 @@ from ..config import load_config
 class ConfigDrivenDataValidator:
     def __init__(self, config_path: str = "configs/base.yaml"):
         self.config = load_config(config_path)
-        d = self.config["dataset"]
+        d = self.config.get("dataset")
+        if not isinstance(d, dict):
+            raise ValueError(
+                f"{config_path}: config has no 'dataset' section to "
+                f"validate against"
+            )
         self.data_root = Path(d.get("data_root", "data/nuscenes"))
         self.classes = list(d.get("classes", []))
         self.camera_types = list((d.get("cameras", {}) or {}).get("names", []))
@@ -88,10 +93,15 @@ class ConfigDrivenDataValidator:
         for radar in self.radar_types:
             if radar not in info["radars"]:
                 self.warnings.append(f"sample {idx}: missing radar {radar}")
-        unknown = set(map(str, info["gt_names"])) - set(self.classes)
-        if unknown:
-            self.errors.append(f"sample {idx}: unknown classes {unknown}")
-            ok = False
+        if self.classes:  # same guard as the metadata check: an empty
+            # config class list means "nothing to compare against", not
+            # "every class is unknown"
+            unknown = set(map(str, info["gt_names"])) - set(self.classes)
+            if unknown:
+                self.errors.append(
+                    f"sample {idx}: unknown classes {unknown}"
+                )
+                ok = False
         return ok
 
     # -- drivers ----------------------------------------------------------------

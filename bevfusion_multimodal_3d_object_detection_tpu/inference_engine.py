@@ -296,8 +296,8 @@ class InferenceEngine:
 
         gt_boxes = np.asarray(sample.get("gt_boxes", np.zeros((0, 7))))
         gt_labels = np.asarray(sample.get("gt_labels", np.zeros(0, np.int64)))
-        keep = gt_labels >= 0
-        gt_boxes = gt_boxes[keep]
+        if gt_labels.size:  # unlabeled samples carry boxes without labels
+            gt_boxes = gt_boxes[gt_labels >= 0]
 
         p, r, f1, tp, fp, fn = precision_recall_f1(dets["boxes"], gt_boxes)
         result = {
@@ -356,7 +356,9 @@ class InferenceEngine:
         times = []
         n = min(num_samples, len(dataset))
         for i in range(n):
-            res = self.run_inference(dataset[i], visualize=False)
+            res = self.run_inference(
+                dataset[i], visualize=False, save_dir=save_dir
+            )
             total_tp += res["tp"]
             total_fp += res["fp"]
             total_fn += res["fn"]

@@ -120,11 +120,27 @@ def _tolerant_merge(
 
     A TENSOR SHAPE MISMATCH raises by default — torch's strict=False still
     raises on size mismatch, and silently keeping the random template value
-    yields a part-restored model presented as restored.
-    `keep_on_shape_mismatch=True` opts into warn-and-keep."""
+    yields a part-restored model presented as restored. The same applies
+    to a container/leaf KIND mismatch (a restructured module): it raises
+    unless `keep_on_shape_mismatch=True` opts into warn-and-keep."""
+
+    def kind_mismatch(kind: str):
+        if not keep_on_shape_mismatch:
+            raise ValueError(
+                f"checkpoint structure mismatch at {path or '/'}: "
+                f"checkpoint has {type(state).__name__} where the model "
+                f"expects {kind} (pass keep_on_shape_mismatch=True to "
+                f"keep the current values)"
+            )
+        print(
+            f"Warning: checkpoint structure mismatch at {path or '/'} "
+            f"({type(state).__name__} vs {kind}); keeping current values"
+        )
+        return template
+
     if isinstance(template, dict):
         if not isinstance(state, dict):
-            return template
+            return kind_mismatch("a dict subtree")
         out = {}
         for k, v in template.items():
             if str(k) in state:
@@ -136,7 +152,7 @@ def _tolerant_merge(
         return out
     if isinstance(template, (list, tuple)):
         if not isinstance(state, dict):
-            return template
+            return kind_mismatch("a list subtree")
         merged = [
             _tolerant_merge(
                 v, state.get(str(i), None), f"{path}/{i}", keep_on_shape_mismatch
@@ -148,6 +164,8 @@ def _tolerant_merge(
         return type(template)(merged)
     if state is None:
         return template
+    if isinstance(state, dict):  # dict where the model expects an array
+        return kind_mismatch("an array leaf")
     arr = np.asarray(state)
     t_arr = np.asarray(template)
     if arr.shape != t_arr.shape:

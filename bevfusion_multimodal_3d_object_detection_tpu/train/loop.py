@@ -164,19 +164,19 @@ def make_train_step(
         gt_boxes = batch["gt_boxes"]
         aug_rng, dropout_rng = jax.random.split(rng)
         if do_augment:
-            from ..ops.augment import color_jitter, lidar_flip_scale, radar_noise
+            from ..ops.augment import augment_modalities
 
-            kc, kl, kr = jax.random.split(aug_rng, 3)
-            if cams is not None and aug.camera_enable:
-                cams = color_jitter(
-                    kc, cams, aug.brightness, aug.contrast, aug.saturation
-                )
-            if lidar is not None and aug.lidar_enable:
-                lidar, gt_boxes = lidar_flip_scale(
-                    kl, lidar, gt_boxes, aug.scale_min, aug.scale_max
-                )
-            if radar is not None and aug.radar_enable:
-                radar = radar_noise(kr, radar, aug.noise_std)
+            # geometric camera-to-BEV: the frustum plans are host-side
+            # calibration constants — a y-flip/scale of the point cloud
+            # and labels cannot be co-applied to them, so the geometric
+            # transform is frozen (photometric jitter + radar noise stay)
+            geometry_frozen = (
+                spec.use_camera and spec.bev.camera_to_bev == "geometric"
+            )
+            cams, lidar, radar, gt_boxes = augment_modalities(
+                aug_rng, cams, lidar, radar, gt_boxes, aug,
+                geometry_frozen=geometry_frozen,
+            )
 
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = model.apply(

@@ -230,23 +230,24 @@ def save_and_print_metrics(
 # ---------------------------------------------------------------------------
 
 
-def _global_class_matches(
-    predictions, ground_truths, cls, threshold
-):
-    """Accumulate (score, is_tp, match_errors) for one class across ALL
-    samples — the official protocol (the reference averages per-sample APs
-    instead, utils_v2.py:177-184)."""
-    rows = []  # (score, tp, ate, ase, aoe, ave)
+def _class_sample_data(predictions, ground_truths, cls):
+    """Per-sample precomputation for one class, shared across ALL distance
+    thresholds: score-sorted predictions, vectorized center-distance
+    matrices, and velocity arrays. The distances are threshold-independent
+    — computing them once here (instead of per (class, threshold) in a
+    Python double loop) collapses 4x re-walks of the dataset."""
+    data = []
     total_gt = 0
-    for si, (pred, gt) in enumerate(zip(predictions, ground_truths)):
+    for pred, gt in zip(predictions, ground_truths):
         gt_boxes = np.asarray(gt["boxes"])
         gt_labels = np.asarray(gt["labels"])
         keep = gt_labels >= 0
         gt_boxes, gt_labels = gt_boxes[keep], gt_labels[keep]
-        cls_gts = gt_boxes[gt_labels == cls]
+        sel = gt_labels == cls
+        cls_gts = gt_boxes[sel]
         gt_vel = None
         if "velocities" in gt:
-            gt_vel = np.asarray(gt["velocities"])[keep][gt_labels == cls]
+            gt_vel = np.asarray(gt["velocities"])[keep][sel]
         total_gt += len(cls_gts)
 
         p_mask = np.asarray(pred["labels"]) == cls
@@ -255,36 +256,68 @@ def _global_class_matches(
         pred_vel = None
         if "velocities" in pred:
             pred_vel = np.asarray(pred["velocities"])[p_mask]
-
-        taken = np.zeros(len(cls_gts), dtype=bool)
         order = np.argsort(-cls_scores)
-        for pi in order:
-            pb = cls_preds[pi]
-            best_d, best_gi = np.inf, -1
-            for gi, gb in enumerate(cls_gts):
-                if taken[gi]:
-                    continue
-                d = float(np.hypot(pb[0] - gb[0], pb[1] - gb[1]))
-                if d < best_d:
-                    best_d, best_gi = d, gi
-            if best_gi >= 0 and best_d <= threshold:
+        cls_preds, cls_scores = cls_preds[order], cls_scores[order]
+        if pred_vel is not None:
+            pred_vel = pred_vel[order]
+
+        if len(cls_preds) and len(cls_gts):
+            dists = np.hypot(
+                cls_preds[:, None, 0] - cls_gts[None, :, 0],
+                cls_preds[:, None, 1] - cls_gts[None, :, 1],
+            )
+        else:
+            dists = np.zeros((len(cls_preds), len(cls_gts)))
+        data.append(
+            (cls_preds, cls_scores, cls_gts, pred_vel, gt_vel, dists)
+        )
+    return data, total_gt
+
+
+def _global_class_matches(data, threshold):
+    """Greedy score-ordered matching at one threshold over the
+    `_class_sample_data` precompute — the official protocol (the reference
+    averages per-sample APs instead, utils_v2.py:177-184). Returns rows of
+    (score, is_tp, ate, ase, aoe, ave-or-None); ave is None when either
+    side carries no velocities, so the caller can pin mAVE to its worst
+    value instead of crediting a perfect 0.0."""
+    rows = []
+    for cls_preds, cls_scores, cls_gts, pred_vel, gt_vel, dists in data:
+        taken = np.zeros(len(cls_gts), dtype=bool)
+        for pi in range(len(cls_preds)):
+            best_gi = -1
+            if len(cls_gts):
+                masked = np.where(taken, np.inf, dists[pi])
+                gi = int(np.argmin(masked))
+                if masked[gi] <= threshold:
+                    best_gi = gi
+            if best_gi >= 0:
                 taken[best_gi] = True
-                gb = cls_gts[best_gi]
-                # ASE = 1 - IoU of size-aligned boxes
-                mins = np.minimum(pb[3:6], gb[3:6])
-                maxs = np.maximum(pb[3:6], gb[3:6])
-                iou = float(np.prod(mins) / max(np.prod(maxs), 1e-9))
+                pb, gb = cls_preds[pi], cls_gts[best_gi]
+                # ASE = 1 - IoU of size-aligned boxes; the official IoU is
+                # intersection over UNION (devkit scale_iou), not over the
+                # product of the max sizes
+                inter = float(np.prod(np.minimum(pb[3:6], gb[3:6])))
+                union = float(
+                    np.prod(pb[3:6]) + np.prod(gb[3:6]) - inter
+                )
+                iou = inter / max(union, 1e-9)
                 ang = pb[6] - gb[6]
                 aoe = abs(float(np.arctan2(np.sin(ang), np.cos(ang))))
-                ave = 0.0
+                ave = None
                 if pred_vel is not None and gt_vel is not None and len(gt_vel):
                     ave = float(
                         np.linalg.norm(pred_vel[pi] - gt_vel[best_gi])
                     )
-                rows.append((cls_scores[pi], 1, best_d, 1 - iou, aoe, ave))
+                rows.append(
+                    (
+                        cls_scores[pi], 1, float(dists[pi, best_gi]),
+                        1 - iou, aoe, ave,
+                    )
+                )
             else:
-                rows.append((cls_scores[pi], 0, 0.0, 0.0, 0.0, 0.0))
-    return rows, total_gt
+                rows.append((cls_scores[pi], 0, 0.0, 0.0, 0.0, None))
+    return rows
 
 
 def _official_ap(rows, total_gt, min_recall=0.1, min_precision=0.1):
@@ -318,26 +351,38 @@ def compute_metrics_official(
       (metrics.nuscenes.dist_ths, finally honored),
     - global (cross-sample) PR accumulation with 101-pt interpolation and
       the 10% recall/precision cutoffs,
-    - TP errors (ATE/ASE/AOE/AVE) on matches at 2.0 m,
+    - TP errors (ATE/ASE/AOE/AVE) on matches at `tp_threshold` (an extra
+      matching pass runs when it is not one of dist_ths, so a custom
+      threshold never silently yields worst-case errors),
     - NDS = (5*mAP + sum(1 - min(1, mTP))) / 10 with mAAE fixed at its worst
-      value 1.0 (attributes are not modeled in this pipeline).
+      value 1.0 (attributes are not modeled in this pipeline); mAVE is
+      likewise 1.0 when no velocities are provided on either side.
     """
     class_aps = []
     ates, ases, aoes, aves = [], [], [], []
+
+    def collect(rows):
+        for r in rows:
+            if r[1] != 1:
+                continue
+            ates.append(r[2])
+            ases.append(r[3])
+            aoes.append(r[4])
+            if r[5] is not None:
+                aves.append(r[5])
+
     for cls in range(num_classes):
+        data, total_gt = _class_sample_data(predictions, ground_truths, cls)
         th_aps = []
+        tp_collected = False
         for th in dist_ths:
-            rows, total_gt = _global_class_matches(
-                predictions, ground_truths, cls, th
-            )
+            rows = _global_class_matches(data, th)
             th_aps.append(_official_ap(rows, total_gt))
-            if th == tp_threshold:
-                tp_rows = [r for r in rows if r[1] == 1]
-                if tp_rows:
-                    ates.extend(r[2] for r in tp_rows)
-                    ases.extend(r[3] for r in tp_rows)
-                    aoes.extend(r[4] for r in tp_rows)
-                    aves.extend(r[5] for r in tp_rows)
+            if np.isclose(th, tp_threshold):
+                collect(rows)
+                tp_collected = True
+        if not tp_collected:
+            collect(_global_class_matches(data, tp_threshold))
         class_aps.append(float(np.mean(th_aps)))
 
     m_ap = float(np.mean(class_aps))

@@ -63,7 +63,7 @@ def load_serving_variables(
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
         }
-        if str(model_path).endswith(".pth"):
+        if str(model_path).endswith((".pth", ".pt")):  # match engine suffixes
             from .reference_convert import load_reference_checkpoint_into
 
             variables = load_reference_checkpoint_into(template, model_path)

@@ -92,6 +92,13 @@ def export_nuscenes_submission(
     (an info-pickle entry with 'token', 'lidar_calibrated_sensor',
     'lidar_pose'). The official server caps boxes per sample at 500.
     Returns the submission dict (also written to `path`)."""
+    if len(detections) != len(infos):
+        # the official server rejects submissions missing sample tokens;
+        # a silent zip truncation would surface only at upload time
+        raise ValueError(
+            f"submission needs one detection dict per info: got "
+            f"{len(detections)} detections for {len(infos)} samples"
+        )
     results: Dict[str, List[Dict]] = {}
     for det, info in zip(detections, infos):
         boxes = np.asarray(det["boxes"], float)

@@ -88,11 +88,16 @@ int pointprep_filter_pad(const float* in, int64_t n_in, int record_floats,
 int pointprep_load_lidar(const char* path, int record_floats, float* out,
                          int64_t max_points, int out_channels,
                          const float* range6, uint64_t seed) {
+  if (record_floats <= 0) return -1;  // guard BEFORE the division below
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
   long bytes = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (bytes < 0) {  // ftell failure would turn into a huge allocation
+    std::fclose(f);
+    return -1;
+  }
   int64_t n_floats = bytes / static_cast<long>(sizeof(float));
   std::vector<float> buf(static_cast<size_t>(n_floats));
   size_t got = std::fread(buf.data(), sizeof(float), n_floats, f);

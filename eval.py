@@ -113,11 +113,12 @@ def main(config_path: str | None = None) -> dict:
     # Q10 hardcoded model_config only governs model construction — so the
     # same config enables this consistently across eval.py/train_detect.py.
     from bevfusion_multimodal_3d_object_detection_tpu.config import (
-        CompatFlags as _CF,
         PostProcessSpec,
     )
 
-    pp_compat = _CF.from_config(loader_config or model_config)
+    pp_compat = (
+        CompatFlags.from_config(loader_config) if loader_config else compat
+    )
     pp = None
     if not pp_compat.ignore_post_processing_config:
         pp = PostProcessSpec.from_config(loader_config or model_config, "val")

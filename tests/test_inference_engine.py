@@ -103,3 +103,47 @@ def test_engine_end_to_end_random_init(tmp_path):
     assert {"detections", "precision", "recall", "f1"} <= set(res)
     assert (tmp_path / f"inference_{sample['token']}.png").exists()
     assert (tmp_path / f"predictions_{sample['token']}.json").exists()
+
+
+def test_engine_unlabeled_sample_and_batch_save_dir(tmp_path):
+    """run_inference tolerates gt_boxes without gt_labels (unlabeled data),
+    and batch_inference forwards save_dir so prediction JSONs are written."""
+    from bevfusion_multimodal_3d_object_detection_tpu.inference_engine import (
+        InferenceEngine,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data import (
+        SyntheticNuScenesDataset,
+    )
+    from conftest import TINY_IMAGE, TINY_POINTS, TINY_RADAR_POINTS
+
+    cfg = {
+        "dataset": {
+            "cameras": {"image_size": list(TINY_IMAGE)},
+            "max_points": {"lidar": TINY_POINTS,
+                           "radar_per_sensor": TINY_RADAR_POINTS},
+        },
+        "model": {
+            "camera_encoder": {"input_size": list(TINY_IMAGE)},
+            "lidar_encoder": {"max_points": TINY_POINTS},
+            "radar_encoder": {"max_points_per_sensor": TINY_RADAR_POINTS},
+        },
+        "inference": {"save_predictions": True},
+    }
+    engine = InferenceEngine(config=cfg)
+    ds = SyntheticNuScenesDataset(
+        num_samples=2, image_size=TINY_IMAGE, max_points=TINY_POINTS,
+        max_radar_points=TINY_RADAR_POINTS,
+    )
+    engine.init_random(ds[0])
+
+    unlabeled = dict(ds[0])
+    unlabeled.pop("gt_labels")  # boxes present, labels absent
+    res = engine.run_inference(unlabeled, visualize=False)
+    assert np.isfinite(res["f1"])
+
+    out = str(tmp_path / "batch_out")
+    engine.batch_inference(ds, num_samples=2, save_dir=out)
+    import pathlib
+
+    written = list(pathlib.Path(out).glob("predictions_*.json"))
+    assert len(written) == 2, written

@@ -112,3 +112,30 @@ def test_dataset_native_path_equivalence(tmp_path):
     a = NuScenesDataset(use_native=True, **kw)[0]["lidar_points"]
     b = NuScenesDataset(use_native=False, **kw)[0]["lidar_points"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_load_lidar_rejects_bad_args(tmp_path):
+    """record_floats<=0 and missing files return -1 (numpy-fallback signal)
+    instead of crashing the loader process (SIGFPE on the division)."""
+    import ctypes
+
+    from bevfusion_multimodal_3d_object_detection_tpu.data.native import (
+        get_lib,
+    )
+
+    lib = get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    out = np.zeros((8, 5), np.float32)
+    rng6 = (ctypes.c_float * 6)(-50, -50, -5, 50, 50, 3)
+    optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert lib.pointprep_load_lidar(
+        b"/nonexistent.bin", 5, optr, 8, 5, rng6, 0
+    ) == -1
+    p = tmp_path / "pts.bin"
+    np.arange(20, dtype=np.float32).tofile(p)
+    assert lib.pointprep_load_lidar(
+        str(p).encode(), 0, optr, 8, 5, rng6, 0
+    ) == -1

@@ -603,3 +603,28 @@ def test_client_post_retry_semantics(monkeypatch):
     with pytest.raises(urllib.error.URLError):
         c._request("/stats")
     assert calls["n"] == 3
+
+
+def test_client_encode_npz_strips_non_wire_keys():
+    """encode_npz(dataset[i]) works as-is: token strings / gt arrays /
+    plan arrays are dropped from the wire, and a sample with no model
+    inputs at all is a clear error."""
+    import io
+
+    from bevfusion_multimodal_3d_object_detection_tpu.client import (
+        encode_npz,
+    )
+
+    sample = {
+        "camera_imgs": np.zeros((6, 4, 4, 3), np.uint8),
+        "lidar_points": np.zeros((16, 4), np.float32),
+        "token": "synthetic_0",
+        "gt_boxes": np.zeros((3, 7), np.float32),
+        "camera_seg_idx": np.zeros((6, 8), np.int32),
+    }
+    blob = encode_npz(sample)
+    with np.load(io.BytesIO(blob)) as z:
+        assert set(z.files) == {"camera_imgs", "lidar_points"}
+        assert z["camera_imgs"].dtype == np.uint8
+    with pytest.raises(ValueError, match="wire keys"):
+        encode_npz({"token": "x"})

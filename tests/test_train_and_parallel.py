@@ -647,3 +647,24 @@ def test_zero_place_opt_state_restore_passthrough(monkeypatch):
         jax.tree_util.tree_leaves(again),
     ):
         assert a is b  # identity pass-through, zero copies
+
+
+def test_tolerant_merge_kind_mismatch_raises():
+    """A container/leaf KIND mismatch (restructured module between save and
+    load) raises like a shape mismatch instead of silently keeping random
+    template values; keep_on_shape_mismatch opts into warn-and-keep."""
+    from bevfusion_multimodal_3d_object_detection_tpu.train.checkpoint import (
+        _tolerant_merge,
+    )
+
+    template = {"a": {"w": np.zeros((2,))}}
+    state = {"a": [0.0, 0.0]}  # leaf where the model expects a dict
+    with pytest.raises(ValueError, match="structure mismatch"):
+        _tolerant_merge(template, state)
+    kept = _tolerant_merge(template, state, keep_on_shape_mismatch=True)
+    assert kept["a"]["w"].shape == (2,)
+
+    template2 = {"a": np.zeros((2,))}
+    state2 = {"a": {"w": [0.0, 0.0]}}  # dict where the model expects array
+    with pytest.raises(ValueError, match="structure mismatch"):
+        _tolerant_merge(template2, state2)
