@@ -127,8 +127,16 @@ def decode_centernet_predictions(
 
     centers_x = xs.astype(jnp.float32) + offset[..., 0]
     centers_y = ys.astype(jnp.float32) + offset[..., 1]
-    world_x = centers_x * voxel_size + pc_range[0]
-    world_y = centers_y * voxel_size + pc_range[1]
+    # voxel_size: scalar (reference behavior, square grids) or a
+    # (voxel_x, voxel_y) tuple — target assignment is per-axis
+    # (targets.py voxel_x/voxel_y), so decode must be too for any
+    # non-square bev_h != bev_w grid or asymmetric pc_range
+    if isinstance(voxel_size, (tuple, list)):
+        voxel_x, voxel_y = voxel_size
+    else:
+        voxel_x = voxel_y = voxel_size
+    world_x = centers_x * voxel_x + pc_range[0]
+    world_y = centers_y * voxel_y + pc_range[1]
     world_z = jnp.full_like(world_x, -1.0)  # fixed ground plane (Q15)
     yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
 

@@ -18,7 +18,7 @@ All maps are NHWC; `ind` indexes the flattened H*W axis (y*W + x).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,12 +134,18 @@ def centernet_loss(
 
 
 def prepare_mlp_targets(
-    gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray
+    gt_boxes: jnp.ndarray, gt_labels: jnp.ndarray,
+    num_classes: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """First-valid-object targets for the MLP head
     (ref: train_detect.py:455-494): label/box of the first object with
-    label >= 0, else (0, zeros)."""
+    label >= 0, else (0, zeros). When num_classes is given, out-of-range
+    labels are treated as invalid like the centernet path does — XLA's
+    gather would otherwise CLAMP them in the cross-entropy and silently
+    train the last class (torch would raise instead)."""
     valid = gt_labels >= 0  # (B, M)
+    if num_classes is not None:
+        valid = valid & (gt_labels < num_classes)
     has_valid = jnp.any(valid, axis=1)
     first = jnp.argmax(valid, axis=1)  # first True (0 if none)
     b_ix = jnp.arange(gt_labels.shape[0])

@@ -124,8 +124,12 @@ def prepare_centernet_targets(
     # these in float64 on host (centernet_target.py:250-251), where exact
     # grid-boundary positions (e.g. world 0.0 -> pixel 25.0) land ON the
     # integer; float32 can land epsilon below it.
-    px = jnp.where(jnp.abs(px - jnp.round(px)) < 1e-4, jnp.round(px), px)
-    py = jnp.where(jnp.abs(py - jnp.round(py)) < 1e-4, jnp.round(py), py)
+    # The snap never rounds UP TO the outer border (px == w would flip a
+    # genuinely-inside object to invalid; the float64 reference keeps it).
+    px_r = jnp.round(px)
+    py_r = jnp.round(py)
+    px = jnp.where((jnp.abs(px - px_r) < 1e-4) & (px_r < w), px_r, px)
+    py = jnp.where((jnp.abs(py - py_r) < 1e-4) & (py_r < h), py_r, py)
     cx = jnp.floor(px).astype(jnp.int32)
     cy = jnp.floor(py).astype(jnp.int32)
 
@@ -195,12 +199,19 @@ def prepare_centernet_targets(
         target_vel = jnp.zeros((b, m, 2), jnp.float32)
 
     # ---- dense center maps (used only by the alternative DetectionLoss) -----
+    # invalid/padded rows are routed OUT OF BOUNDS (cy = h) so mode="drop"
+    # discards them: a zero-padded box lands in the BEV cell containing the
+    # world origin, and its zero values would otherwise .set-clobber a real
+    # object's dense targets in that cell. (h, not -1: negative indices
+    # WRAP under jnp indexing.)
+    drop_cy = jnp.where(valid, cy_c, h).reshape(-1)
+
     def scatter_dense(values: jnp.ndarray) -> jnp.ndarray:
         c = values.shape[-1]
         dense = jnp.zeros((b, h, w, c), jnp.float32)
-        return dense.at[
-            b_ix, cy_c.reshape(-1), cx_c.reshape(-1)
-        ].set(jnp.where(vmask > 0, values, 0.0).reshape(b * m, c), mode="drop")
+        return dense.at[b_ix, drop_cy, cx_c.reshape(-1)].set(
+            values.reshape(b * m, c), mode="drop"
+        )
 
     offset_map = scatter_dense(target_offset)
     size_map = scatter_dense(target_size)

@@ -128,8 +128,12 @@ class InferenceServer:
         if self.compat.eval_decode_voxel_0512:
             voxel_size = 0.512  # Q3
         else:
-            x0, _, _, x1, _, _ = self.spec.bev.pc_range
-            voxel_size = (x1 - x0) / self.spec.bev.bev_w
+            # per-axis (decode matches targets.py for non-square grids)
+            x0, y0, _, x1, y1, _ = self.spec.bev.pc_range
+            voxel_size = (
+                (x1 - x0) / self.spec.bev.bev_w,
+                (y1 - y0) / self.spec.bev.bev_h,
+            )
 
         spec = self.spec
 

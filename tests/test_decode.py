@@ -259,3 +259,69 @@ class TestNMSPostProcessing:
         assert PostProcessSpec.from_config({}, "test") == PostProcessSpec()
         assert not CompatFlags.from_config(cfg).ignore_post_processing_config
         assert CompatFlags.from_config({}).ignore_post_processing_config
+
+
+def test_decode_per_axis_voxel_nonsquare_grid():
+    """Decode with a (voxel_x, voxel_y) tuple inverts targets.py's per-axis
+    pixel mapping on a NON-SQUARE grid — the scalar voxel_size doubled
+    world-y on a bev_h != bev_w grid."""
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.targets import (
+        prepare_centernet_targets,
+    )
+
+    h, w, c = 100, 50, 3  # voxel_y = 1.024, voxel_x = 2.048
+    pc_range = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    gt = np.zeros((1, 1, 7), np.float32)
+    gt[0, 0] = [10.0, -20.0, -1.0, 2.0, 4.0, 1.5, 0.3]
+    labels = np.array([[1]], np.int64)
+    t = prepare_centernet_targets(
+        jnp.asarray(gt), jnp.asarray(labels), bev_size=(h, w),
+        num_classes=c, pc_range=pc_range,
+    )
+    preds = {
+        "heatmap": np.zeros((1, h, w, c), np.float32),
+        "offset": np.asarray(t["offset"]),
+        "size": np.asarray(t["size"]),
+        "rot": np.asarray(t["rot"]),
+        "vel": np.asarray(t["vel"]),
+    }
+    ind = int(np.asarray(t["ind"])[0, 0])
+    cy, cx = ind // w, ind % w
+    preds["heatmap"][0, cy, cx, 1] = 1.0
+    out = decode_centernet_predictions(
+        {k: jnp.asarray(v) for k, v in preds.items()},
+        max_detections=5,
+        voxel_size=(102.4 / w, 102.4 / h),
+        pc_range=pc_range,
+        class_always_zero=False,
+    )
+    box = np.asarray(out["boxes"])[0, 0]
+    assert np.asarray(out["scores"])[0, 0] == 1.0
+    np.testing.assert_allclose(box[0], 10.0, atol=1e-3)
+    np.testing.assert_allclose(box[1], -20.0, atol=1e-3)  # was -51.2-ish off
+    np.testing.assert_allclose(box[3:6], [2.0, 4.0, 1.5], atol=1e-4)
+
+
+def test_targets_padded_rows_do_not_clobber_origin_cell():
+    """Zero-padded gt rows land in the BEV cell containing the world origin;
+    their zero values must NOT overwrite a real object's dense targets
+    there (the alternative DetectionLoss trains on these maps)."""
+    import jax.numpy as jnp
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.targets import (
+        prepare_centernet_targets,
+    )
+
+    gt = np.zeros((1, 3, 7), np.float32)  # rows 1-2 are padding
+    gt[0, 0] = [0.5, 0.5, -1.0, 2.0, 4.0, 1.5, 0.3]  # origin cell (25, 25)
+    labels = np.array([[2, -1, -1]], np.int64)
+    t = prepare_centernet_targets(
+        jnp.asarray(gt), jnp.asarray(labels), bev_size=(50, 50),
+        num_classes=3,
+    )
+    size_map = np.asarray(t["size"])
+    np.testing.assert_allclose(size_map[0, 25, 25], [2.0, 4.0, 1.5])
+    off = np.asarray(t["offset"])[0, 25, 25]
+    assert np.abs(off).sum() > 0  # the real object's sub-pixel offset
