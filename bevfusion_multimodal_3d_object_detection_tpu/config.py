@@ -9,7 +9,7 @@ are hashable, so they can be jit-static arguments and model hyperparameters.
 A ``compat`` section (new, optional in YAML) exposes every documented quirk of
 the reference as an explicit flag, defaulting to reference behavior so that
 eval numbers are reproducible; each flag is one switch away from corrected
-behavior. See SURVEY.md quirk ledger Q1-Q18.
+behavior. See SURVEY.md quirk ledger Q1-Q20.
 """
 
 from __future__ import annotations
@@ -98,7 +98,7 @@ def _get(cfg: Optional[Dict], *path, default=None):
 class CompatFlags:
     """Explicit switches for every reference quirk; defaults = reference behavior.
 
-    See SURVEY.md appendix (quirk ledger Q1-Q18) for file:line citations.
+    See SURVEY.md appendix (quirk ledger Q1-Q20) for file:line citations.
     """
 
     # Q1: decode labels everything class 0 ("car"):
@@ -143,6 +143,13 @@ class CompatFlags:
     # reference behavior; True = proper (b+sqrt(b^2-4ac))/(2a) roots. Differs
     # only for large boxes on fine grids.
     corrected_gaussian_radius: bool = False
+    # Q20: the converter maps nuScenes categories to classes by SUBSTRING
+    # (data_converter.py:265-269), which can never match 'traffic_cone'
+    # (category 'movable_object.trafficcone') or 'construction_vehicle'
+    # (category 'vehicle.construction') — those GT boxes are silently
+    # dropped from every converted pickle. True = reference behavior;
+    # False adds the corrected alias mapping (data/converter.py).
+    substring_class_matching: bool = True
     # Q16-family: the reference declares post_processing blocks under
     # val/test/inference
     # (score_threshold, nms_threshold, max_detections; configs/base.yaml:
@@ -157,6 +164,15 @@ class CompatFlags:
     def from_config(cfg: Optional[Dict]) -> "CompatFlags":
         c = _get(cfg, "compat", default={}) or {}
         fields = {f.name for f in dataclasses.fields(CompatFlags)}
+        unknown = sorted(set(c) - fields)
+        if unknown:
+            # the whole quirk-ledger contract rests on these switches: a
+            # typo'd flag silently keeping reference behavior would be a
+            # silent wrong experiment
+            raise ValueError(
+                f"unknown compat flag(s) {unknown}; known flags: "
+                f"{sorted(fields)}"
+            )
         return CompatFlags(**{k: v for k, v in c.items() if k in fields})
 
 
@@ -397,10 +413,11 @@ class DetectorSpec:
         )
 
         image_size = tuple(cam_cfg.get("input_size", (448, 800)))
-        max_lidar = dataset.get("max_points", {}).get(
+        max_points_cfg = dataset.get("max_points") or {}  # null-safe like DataSpec
+        max_lidar = max_points_cfg.get(
             "lidar", lid_cfg.get("max_points", 35000)
         )
-        max_radar = dataset.get("max_points", {}).get(
+        max_radar = max_points_cfg.get(
             "radar_per_sensor", rad_cfg.get("max_points_per_sensor", 125)
         )
 
@@ -744,9 +761,13 @@ class ParallelSpec:
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "ParallelSpec":
         p = _get(cfg, "parallel", default={}) or {}
-        mh = p.get("multi_host", {}) or {}
+        # `or {}` must not eat the documented `multi_host: false` shorthand
+        # (an explicit disable has to survive to beat the dead reference
+        # hardware.gpu.distributed block below)
+        mh = p.get("multi_host", {})
         if isinstance(mh, bool):
             mh = {"enable": mh}
+        mh = mh or {}
         # honor the reference's own (dead) distributed block only when
         # multi_host isn't explicitly configured AND a coordinator is
         # actually resolvable (config or env). Upstream the block is a

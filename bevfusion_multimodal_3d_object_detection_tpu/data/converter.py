@@ -45,6 +45,14 @@ from ..config import load_config
 # ---------------------------------------------------------------------------
 
 
+# corrected Q20 aliases: nuScenes category substrings the reference's
+# `cls in category_name` rule can never hit for these two classes
+_CLASS_ALIASES = {
+    "traffic_cone": ("trafficcone",),
+    "construction_vehicle": ("vehicle.construction",),
+}
+
+
 def quat_normalize(q: np.ndarray) -> np.ndarray:
     return q / np.linalg.norm(q)
 
@@ -141,6 +149,14 @@ class ConfigDrivenNuScenesConverter:
         # sweeps for aggregation with timestamp channels; extra keys,
         # schema-compatible)
         self.radar_num_sweeps = d.get("radar_num_sweeps", 1)
+        from ..config import CompatFlags
+
+        # Q20: substring category matching (reference behavior) silently
+        # drops traffic_cone / construction_vehicle GT; the corrected
+        # alias mapping is one switch away (compat.substring_class_matching)
+        self.substring_class_matching = CompatFlags.from_config(
+            self.config
+        ).substring_class_matching
         self.out_dir = Path(self.data_root)
 
         # devkit init is deferred to first data access so config-only
@@ -324,9 +340,21 @@ class ConfigDrivenNuScenesConverter:
         }
 
     def _get_class_name(self, category_name: str) -> str:
+        """Substring match (quirk Q20, ref: data_converter.py:265-269).
+        The substring rule can NEVER match two real nuScenes categories:
+        'movable_object.trafficcone' (no underscore) and
+        'vehicle.construction' (word order) — reference behavior drops
+        their GT silently. compat.substring_class_matching=False adds the
+        corrected aliases."""
         for cls in self.classes:
             if cls in category_name:
                 return cls
+        if not getattr(self, "substring_class_matching", True):
+            for cls, aliases in _CLASS_ALIASES.items():
+                if cls in self.classes and any(
+                    a in category_name for a in aliases
+                ):
+                    return cls
         return "unknown"
 
     # -- splits ------------------------------------------------------------------

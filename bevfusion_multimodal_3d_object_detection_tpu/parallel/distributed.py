@@ -100,6 +100,19 @@ def form_global_batch(mesh: Mesh, host_batch: Dict) -> Dict:
 
     Non-array values (e.g. 'tokens') pass through unchanged.
     """
+    # the per-shard-owned-by-one-process contract: every 'data' row of the
+    # mesh must live on a single process, otherwise two hosts would supply
+    # DIFFERENT loader slices for what the sharding declares to be ONE
+    # shard (replicated over 'view') — silently divergent global batches
+    for row in mesh.devices:
+        procs = {d.process_index for d in np.ravel(row)}
+        if len(procs) > 1:
+            raise ValueError(
+                "form_global_batch requires each 'data' shard to be owned "
+                "by exactly one process, but a mesh row spans processes "
+                f"{sorted(procs)} (view axis crossing host boundaries) — "
+                "use a view_parallel that divides the per-host device count"
+            )
     out = {}
     for k, v in host_batch.items():
         if not isinstance(v, (np.ndarray, jax.Array)):

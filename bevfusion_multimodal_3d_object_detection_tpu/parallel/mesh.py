@@ -33,8 +33,29 @@ def make_mesh(
     the data axis."""
     if devices is None:
         devices = jax.devices()
+    if n_view < 1 or n_view > len(devices):
+        raise ValueError(
+            f"view_parallel={n_view} needs that many devices, but only "
+            f"{len(devices)} available"
+        )
     if n_data is None:
         n_data = len(devices) // n_view
+    if n_data < 1:
+        raise ValueError(
+            f"mesh ({n_data}, {n_view}) has no devices on the 'data' axis"
+        )
+    if n_data * n_view > len(devices):
+        raise ValueError(
+            f"mesh ({n_data}, {n_view}) needs {n_data * n_view} devices, "
+            f"but only {len(devices)} available"
+        )
+    if n_data * n_view < len(devices):
+        # never silently idle chips on a config typo
+        print(
+            f"Warning: mesh ({n_data}, {n_view}) uses "
+            f"{n_data * n_view} of {len(devices)} devices; the remaining "
+            f"{len(devices) - n_data * n_view} stay idle"
+        )
     devs = np.asarray(devices[: n_data * n_view]).reshape(n_data, n_view)
     return Mesh(devs, axis_names=("data", "view"))
 

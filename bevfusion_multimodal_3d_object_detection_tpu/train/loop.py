@@ -205,7 +205,10 @@ def make_train_step(
                 double_sigmoid=compat.double_sigmoid_focal,
             )
         else:
-            targets = prepare_mlp_targets(gt_boxes, batch["gt_labels"])
+            targets = prepare_mlp_targets(
+                gt_boxes, batch["gt_labels"],
+                num_classes=spec.num_classes,
+            )
             losses = detection_loss(preds, targets)
         return losses["total_loss"], (mutated["batch_stats"], losses)
 
@@ -252,12 +255,16 @@ def make_eval_step(
     if eval_path_decode and compat.eval_decode_voxel_0512:
         voxel_size = 0.512
     else:
-        x_min, _, _, x_max, _, _ = spec.bev.pc_range
-        voxel_size = (x_max - x_min) / spec.bev.bev_w
+        # per-axis (decode matches targets.py for non-square grids)
+        x_min, y_min, _, x_max, y_max, _ = spec.bev.pc_range
+        voxel_size = (
+            (x_max - x_min) / spec.bev.bev_w,
+            (y_max - y_min) / spec.bev.bev_h,
+        )
 
     @jax.jit
-    def eval_step(state: TrainState, batch: Dict):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    def _eval_jit(params, batch_stats, batch: Dict):
+        variables = {"params": params, "batch_stats": batch_stats}
         preds = model.apply(
             variables, *_model_inputs(spec, batch), train=False,
             **_model_kwargs(spec, batch),
@@ -273,6 +280,13 @@ def make_eval_step(
         else:
             decoded = preds
         return decoded
+
+    def eval_step(state: TrainState, batch: Dict):
+        # only params/batch_stats enter the jit: the executable stays
+        # independent of optimizer configuration (no retrace when
+        # grad_accum / ZeRO sharding change the opt_state structure, and
+        # the AdamW moments never travel into an eval call)
+        return _eval_jit(state.params, state.batch_stats, batch)
 
     return eval_step
 
@@ -353,11 +367,20 @@ class Trainer:
         self, loader, log_every: int = 10, log_file: Optional[str] = None
     ) -> float:
         assert self.state is not None, "call init_state first"
+        # closed via try/finally: the per-step JSONL is the crash
+        # forensics record — a mid-epoch exception must still flush it
+        log_fh = open(log_file, "a") if log_file else None
+        try:
+            return self._epoch_inner(loader, log_every, log_fh)
+        finally:
+            if log_fh:
+                log_fh.close()
+
+    def _epoch_inner(self, loader, log_every, log_fh) -> float:
         import json
         import time
 
         total, count = 0.0, 0
-        log_fh = open(log_file, "a") if log_file else None
         for i, batch in enumerate(loader):
             t0 = time.perf_counter()
             # Pallas-splat chunk plans are inference-only (the module ignores
@@ -396,8 +419,6 @@ class Trainer:
                     )
                     + "\n"
                 )
-        if log_fh:
-            log_fh.close()
         return total / max(count, 1)
 
     def evaluate(self, loader, score_thresh: float = 0.0, post_process=None) -> Dict:
@@ -413,9 +434,42 @@ class Trainer:
         `score_thresh`."""
         assert self.state is not None
         predictions, ground_truths = [], []
+        eval_state = self._eval_state()
+        n_data = (
+            int(self.mesh.shape.get("data", 1))
+            if (self.mesh is not None and eval_state is self.state)
+            else 1
+        )
         for batch in loader:
-            dev_batch = self._device_batch(batch)
-            decoded = self.eval_step(self.state, dev_batch)
+            n = len(batch["gt_boxes"])
+            pad = (-n) % n_data
+            if pad:
+                # the val loader keeps its final PARTIAL batch (no
+                # drop_last); shard_batch needs divisibility by the mesh
+                # 'data' axis — pad by repeating the last row and trim the
+                # decoded outputs back to n below
+                batch = {
+                    k: (
+                        np.concatenate(
+                            [v] + [v[-1:]] * pad, axis=0
+                        )
+                        if isinstance(v, (np.ndarray, jax.Array))
+                        else v
+                    )
+                    for k, v in batch.items()
+                }
+            if eval_state is self.state:
+                dev_batch = self._device_batch(batch)
+            else:
+                # multi-process: per-host-slice eval on host-local arrays
+                dev_batch = {
+                    k: v
+                    for k, v in batch.items()
+                    if isinstance(v, (np.ndarray, jax.Array))
+                }
+            decoded = self.eval_step(eval_state, dev_batch)
+            if pad:
+                decoded = jax.tree.map(lambda a: a[:n], decoded)
             if self.spec.head_is_centernet:
                 if post_process is not None:
                     dets = decode_to_host(
@@ -441,7 +495,7 @@ class Trainer:
                             "labels": np.array([label], np.int64),
                         }
                     )
-            for bi in range(len(batch["gt_boxes"])):
+            for bi in range(n):  # n, not len(): padded rows are not GT
                 ground_truths.append(
                     {
                         "boxes": np.asarray(batch["gt_boxes"][bi]),
@@ -520,6 +574,30 @@ class Trainer:
         return int(restored["epoch"])
 
     # -- helpers ---------------------------------------------------------------
+    def _eval_state(self) -> TrainState:
+        """State to evaluate with. Single-process: the live (possibly
+        mesh-sharded) state. Multi-process: a HOST-LOCAL copy of the
+        replicated params/batch_stats — each host evaluates its own
+        val-split slice (train_detect.py averages the per-host metrics),
+        so the eval must not consume a global 'data'-sharded batch whose
+        decode would span non-addressable devices."""
+        if self.mesh is None:
+            return self.state
+        from ..parallel import is_multi_process
+
+        if not is_multi_process(self.mesh):
+            return self.state
+
+        def to_host(leaf):
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                return np.asarray(leaf.addressable_data(0))
+            return leaf
+
+        return self.state.replace(
+            params=jax.tree.map(to_host, self.state.params),
+            batch_stats=jax.tree.map(to_host, self.state.batch_stats),
+        )
+
     def _device_batch(self, batch: Dict) -> Dict:
         arrays = {
             k: v

