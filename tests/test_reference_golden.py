@@ -1,0 +1,389 @@
+"""Golden-parity tests against the ACTUAL reference code.
+
+Every other parity test in this suite compares against an independent numpy
+reimplementation of the reference semantics — good, but an oracle written
+from the same SURVEY reading could share a misreading with the
+implementation. These tests close that gap by importing the reference's own
+torch/numpy-only modules (verified: centernet_target.py:6-11, utils_v2.py:1-2,
+fusion_detection.py:7-11 import no torchvision) and running them in-process
+as oracles on randomized small cases:
+
+- ops/targets.prepare_centernet_targets  == ref prepare_centernet_targets
+  (ref: centernet_target.py:170-324), incl. the 100x100 grid config,
+  velocity-bearing 9-col boxes, and out-of-range/invalid rows;
+- ops/losses.centernet_loss              == ref CenterNetLoss
+  (ref: centernet_target.py:455-622) at default compat (double sigmoid Q2);
+- ops/decode.decode_centernet_predictions == BOTH reference decode variants
+  (ref: centernet_target.py:326-452 voxel 2.048; fusion_detection.py:695-820
+  voxel 0.512 — quirk Q3), incl. the Q1 always-class-0 bug and the
+  score-threshold filtering of decode_to_host;
+- utils/metrics.compute_metrics          == ref utils_v2.compute_metrics
+  (ref: utils_v2.py:94-205) to float tolerance, with byte-identical report
+  files from save_and_print_metrics (ref: utils_v2.py:208-233).
+
+The reference sources are treated as UNTRUSTED reference data: they are
+imported and executed, never copied.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_SRC = "/root/reference/src"
+if REF_SRC not in sys.path:
+    sys.path.insert(0, REF_SRC)
+
+ref_ct = pytest.importorskip("centernet_target")
+ref_uv2 = pytest.importorskip("utils_v2")
+ref_fd = pytest.importorskip("fusion_detection")
+
+from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+    decode_centernet_predictions as our_decode,
+    decode_to_host,
+)
+from bevfusion_multimodal_3d_object_detection_tpu.ops.losses import (
+    centernet_loss as our_loss,
+)
+from bevfusion_multimodal_3d_object_detection_tpu.ops.targets import (
+    prepare_centernet_targets_host,
+)
+from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+    compute_metrics as our_compute_metrics,
+    save_and_print_metrics as our_save_metrics,
+)
+
+CPU = torch.device("cpu")
+
+
+# ---------------------------------------------------------------------------
+# case generators
+# ---------------------------------------------------------------------------
+
+
+def random_gt_batch(seed, batch=2, max_objects=12, box_cols=7):
+    """Boxes spanning in-range, out-of-range, and invalid-label rows."""
+    rng = np.random.RandomState(seed)
+    boxes = np.zeros((batch, max_objects, box_cols), np.float32)
+    labels = np.full((batch, max_objects), -1, np.int64)
+    for b in range(batch):
+        n = rng.randint(2, max_objects)
+        # mostly in [-51.2, 51.2); a tail deliberately outside the range
+        boxes[b, :n, 0:2] = rng.uniform(-60, 60, (n, 2))
+        boxes[b, :n, 2] = rng.uniform(-2, 1, n)
+        boxes[b, :n, 3:6] = rng.uniform(0.5, 12.0, (n, 3))
+        boxes[b, :n, 6] = rng.uniform(-np.pi, np.pi, n)
+        if box_cols > 7:
+            boxes[b, :n, 7:9] = rng.uniform(-3, 3, (n, 2))
+        labels[b, :n] = rng.randint(-1, 12, n)  # includes -1 and >=10
+    return boxes, labels
+
+
+def ref_targets(boxes, labels, bev_size, max_objects):
+    batch = {
+        "gt_boxes": [boxes[b] for b in range(boxes.shape[0])],
+        "gt_labels": [labels[b] for b in range(labels.shape[0])],
+    }
+    return ref_ct.prepare_centernet_targets(
+        batch, CPU, bev_size=bev_size, max_objects=max_objects
+    )
+
+
+def our_targets(boxes, labels, bev_size, max_objects):
+    return prepare_centernet_targets_host(
+        {"gt_boxes": boxes, "gt_labels": labels},
+        bev_size=bev_size,
+        max_objects=max_objects,
+    )
+
+
+def to_nhwc(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
+# (i) target assignment
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "seed,bev_size,box_cols",
+    [
+        (0, (50, 50), 7),
+        (1, (50, 50), 7),
+        (2, (100, 100), 7),  # the 2x BEV-grid training config (BASELINE)
+        (3, (50, 50), 9),    # velocity-bearing boxes (ref :306-309)
+    ],
+)
+def test_targets_match_reference(seed, bev_size, box_cols):
+    max_objects = 12
+    boxes, labels = random_gt_batch(seed, box_cols=box_cols)
+    ref = ref_targets(boxes, labels, bev_size, max_objects)
+    ours = our_targets(boxes, labels, bev_size, max_objects)
+
+    np.testing.assert_allclose(
+        np.asarray(ours["heatmap"]), to_nhwc(ref["heatmap"]),
+        atol=1e-5, err_msg="heatmap",
+    )
+    for key in ("offset", "size", "rot", "vel"):
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), to_nhwc(ref[key]),
+            atol=1e-5, err_msg=f"dense {key}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ours["ind"]), ref["ind"].numpy(), err_msg="ind"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours["reg_mask"]), ref["reg_mask"].numpy(),
+        err_msg="reg_mask",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours["mask"]), ref["mask"].numpy(), err_msg="mask"
+    )
+    for key in ("target_offset", "target_size", "target_rot", "target_vel"):
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), ref[key].numpy(),
+            atol=1e-5, err_msg=key,
+        )
+
+
+# ---------------------------------------------------------------------------
+# (ii) CenterNet loss
+# ---------------------------------------------------------------------------
+
+
+def random_pred_maps(rng, b, h, w, c):
+    """NCHW torch prediction maps + matching NHWC numpy."""
+    maps = {
+        "heatmap": rng.uniform(0.01, 0.99, (b, c, h, w)),
+        "offset": rng.randn(b, 2, h, w),
+        "size": rng.randn(b, 3, h, w),
+        "rot": rng.randn(b, 2, h, w),
+        "vel": rng.randn(b, 2, h, w),
+    }
+    torch_maps = {k: torch.tensor(v, dtype=torch.float32) for k, v in maps.items()}
+    jax_maps = {
+        k: np.transpose(v.astype(np.float32), (0, 2, 3, 1)) for k, v in maps.items()
+    }
+    return torch_maps, jax_maps
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_centernet_loss_matches_reference(seed):
+    rng = np.random.RandomState(100 + seed)
+    bev = (50, 50)
+    max_objects = 12
+    boxes, labels = random_gt_batch(seed)
+    ref_t = ref_targets(boxes, labels, bev, max_objects)
+    torch_maps, jax_maps = random_pred_maps(rng, boxes.shape[0], *bev, 10)
+
+    ref_losses = ref_ct.CenterNetLoss()(torch_maps, ref_t)
+
+    our_t = our_targets(boxes, labels, bev, max_objects)
+    ours = our_loss(jax_maps, our_t)
+
+    for key in (
+        "total_loss", "heatmap_loss", "offset_loss",
+        "size_loss", "rot_loss", "vel_loss",
+    ):
+        assert np.isclose(
+            float(ours[key]), float(ref_losses[key]), rtol=1e-4, atol=1e-6
+        ), f"{key}: ours={float(ours[key])} ref={float(ref_losses[key])}"
+
+
+def test_centernet_loss_no_objects_matches_reference():
+    """num_pos == 0 branch (ref: centernet_target.py:578-581)."""
+    rng = np.random.RandomState(7)
+    b, h, w, c = 2, 50, 50, 10
+    boxes = np.zeros((b, 4, 7), np.float32)
+    labels = np.full((b, 4), -1, np.int64)
+    ref_t = ref_targets(boxes, labels, (h, w), 4)
+    torch_maps, jax_maps = random_pred_maps(rng, b, h, w, c)
+    ref_losses = ref_ct.CenterNetLoss()(torch_maps, ref_t)
+    ours = our_loss(jax_maps, our_targets(boxes, labels, (h, w), 4))
+    assert np.isclose(
+        float(ours["total_loss"]), float(ref_losses["total_loss"]), rtol=1e-4
+    )
+    assert np.isclose(
+        float(ours["heatmap_loss"]), float(ref_losses["heatmap_loss"]),
+        rtol=1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# (iii) decode — both reference variants
+# ---------------------------------------------------------------------------
+
+
+def assert_decode_matches(ref_out, our_host, score_thresh):
+    assert len(ref_out) == len(our_host)
+    for b, (r, o) in enumerate(zip(ref_out, our_host)):
+        r_boxes = r["boxes"].numpy()
+        r_scores = r["scores"].numpy()
+        r_labels = r["labels"].numpy()
+        r_vel = r["velocities"].numpy()
+        assert o["boxes"].shape == r_boxes.shape, (
+            f"sample {b}: {o['boxes'].shape} vs {r_boxes.shape}"
+        )
+        np.testing.assert_allclose(
+            o["scores"], r_scores, rtol=1e-5, atol=1e-6,
+            err_msg=f"scores sample {b}",
+        )
+        np.testing.assert_array_equal(o["labels"], r_labels)
+        np.testing.assert_allclose(
+            o["boxes"], r_boxes, rtol=1e-4, atol=1e-4,
+            err_msg=f"boxes sample {b}",
+        )
+        np.testing.assert_allclose(
+            o["velocities"], r_vel, rtol=1e-4, atol=1e-5,
+            err_msg=f"velocities sample {b}",
+        )
+
+
+@pytest.mark.parametrize(
+    "variant,voxel,score_thresh",
+    [
+        ("train-eval", 2.048, 0.3),   # centernet_target.py:389, thresh default
+        ("train-eval", 2.048, 0.0),   # eval.py:60 quirk Q16
+        ("standalone", 0.512, 0.3),   # fusion_detection.py:757 quirk Q3
+    ],
+)
+def test_decode_matches_reference(variant, voxel, score_thresh):
+    rng = np.random.RandomState(42)
+    b, c, h, w = 2, 10, 16, 16
+    k = 50
+    torch_maps, jax_maps = random_pred_maps(rng, b, h, w, c)
+
+    ref_decode = (
+        ref_ct.decode_centernet_predictions
+        if variant == "train-eval"
+        else ref_fd.decode_centernet_predictions
+    )
+    ref_out = ref_decode(torch_maps, score_thresh=score_thresh, max_detections=k)
+
+    decoded = our_decode(jax_maps, max_detections=k, voxel_size=voxel)
+    our_host = decode_to_host(decoded, score_thresh=score_thresh)
+    assert_decode_matches(ref_out, our_host, score_thresh)
+    # quirk Q1: the reference labels every detection class 0
+    for o in our_host:
+        assert (o["labels"] == 0).all()
+
+
+def test_decode_empty_after_threshold_matches_reference():
+    """All scores below threshold -> the reference emits empty tensors
+    (ref: centernet_target.py:362-369)."""
+    b, c, h, w = 1, 10, 16, 16
+    low = np.full((b, c, h, w), 0.01, np.float32)
+    # unequal values so maxpool-NMS keeps a deterministic peak set
+    rng = np.random.RandomState(3)
+    low += rng.uniform(0, 0.05, low.shape).astype(np.float32)
+    torch_maps = {
+        "heatmap": torch.tensor(low),
+        "offset": torch.zeros(b, 2, h, w),
+        "size": torch.zeros(b, 3, h, w),
+        "rot": torch.zeros(b, 2, h, w),
+        "vel": torch.zeros(b, 2, h, w),
+    }
+    jax_maps = {
+        k: np.transpose(v.numpy(), (0, 2, 3, 1)) for k, v in torch_maps.items()
+    }
+    ref_out = ref_ct.decode_centernet_predictions(
+        torch_maps, score_thresh=0.5, max_detections=20
+    )
+    ours = decode_to_host(
+        our_decode(jax_maps, max_detections=20, voxel_size=2.048),
+        score_thresh=0.5,
+    )
+    assert len(ref_out[0]["scores"]) == 0
+    assert len(ours[0]["scores"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# (iv) metrics + report file
+# ---------------------------------------------------------------------------
+
+
+def random_metric_case(seed, samples=6):
+    """Per-sample prediction/GT dicts with empty-class and padded-GT edges."""
+    rng = np.random.RandomState(seed)
+    preds, gts = [], []
+    for s in range(samples):
+        n = rng.randint(0, 12)
+        pb = np.zeros((n, 7), np.float32)
+        pb[:, 0:2] = rng.uniform(-50, 50, (n, 2))
+        pb[:, 3:6] = rng.uniform(0.5, 8, (n, 3))
+        pb[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        preds.append(
+            {
+                "boxes": pb,
+                "scores": rng.uniform(0, 1, n).astype(np.float32),
+                # mostly class 0 (the Q1 world), a few spread out
+                "labels": np.where(
+                    rng.uniform(size=n) < 0.7, 0, rng.randint(0, 10, n)
+                ).astype(np.int64),
+            }
+        )
+        m = rng.randint(0, 10)
+        gb = np.zeros((m + 2, 7), np.float32)  # +2 padded rows (label -1)
+        gb[:m, 0:2] = rng.uniform(-50, 50, (m, 2))
+        # some GTs deliberately near a prediction so matches occur
+        take = min(n, m)
+        gb[:take, 0:2] = pb[:take, 0:2] + rng.uniform(-1.5, 1.5, (take, 2))
+        gb[:m, 3:6] = rng.uniform(0.5, 8, (m, 3))
+        gb[:m, 6] = rng.uniform(-np.pi, np.pi, m)
+        gl = np.full(m + 2, -1, np.int64)
+        gl[:m] = np.where(
+            rng.uniform(size=m) < 0.7, 0, rng.randint(0, 10, m)
+        )
+        gts.append({"boxes": gb, "labels": gl})
+    return preds, gts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_metrics_match_reference(seed, tmp_path):
+    preds, gts = random_metric_case(seed)
+    ref_m = ref_uv2.compute_metrics(preds, gts)
+    our_m = our_compute_metrics(preds, gts)
+
+    assert np.isclose(our_m["mAP"], ref_m["mAP"], rtol=1e-9), (
+        our_m["mAP"], ref_m["mAP"],
+    )
+    assert np.isclose(our_m["NDS"], ref_m["NDS"], rtol=1e-9), (
+        our_m["NDS"], ref_m["NDS"],
+    )
+    for cls, ap in ref_m["AP_per_class"].items():
+        assert np.isclose(our_m["AP_per_class"][cls], ap, rtol=1e-9), cls
+
+    ref_path = tmp_path / "ref_metrics.txt"
+    our_path = tmp_path / "our_metrics.txt"
+    ref_uv2.save_and_print_metrics(ref_m, str(ref_path))
+    our_save_metrics(our_m, str(our_path))
+    assert our_path.read_bytes() == ref_path.read_bytes(), (
+        "metric report files differ"
+    )
+
+
+def test_metrics_empty_inputs_match_reference():
+    """No predictions anywhere -> mATE/mASE/mAOE default to 1.0
+    (ref: utils_v2.py:189-191)."""
+    gts = [
+        {
+            "boxes": np.array([[1.0, 2.0, 0, 2, 4, 1.5, 0.3]], np.float32),
+            "labels": np.array([0], np.int64),
+        }
+    ]
+    preds = [
+        {
+            "boxes": np.zeros((0, 7), np.float32),
+            "scores": np.zeros(0, np.float32),
+            "labels": np.zeros(0, np.int64),
+        }
+    ]
+    ref_m = ref_uv2.compute_metrics(preds, gts)
+    our_m = our_compute_metrics(preds, gts)
+    assert np.isclose(our_m["mAP"], ref_m["mAP"])
+    assert np.isclose(our_m["NDS"], ref_m["NDS"])
