@@ -745,6 +745,210 @@ def bench_train(results):
         del trainer, state
 
 
+def bench_trainstages(results):
+    """Train-step attribution (VERDICT r04 #3): where do the 140 ms of the
+    b=16 mixed-precision train step live? Times independently-jitted
+    sub-graphs of the exact step computation (train/loop.py:162-237):
+
+      targets   prepare_centernet_targets alone (ops/targets.py)
+      apply     model.apply train=True (forward only, batch_stats mutable)
+      fwd       apply + targets + centernet_loss (= the full loss_fn value)
+      fwd+bwd   jax.value_and_grad(loss_fn) — backward = this minus fwd
+      optimizer AdamW+clip update alone on precomputed grads (optax)
+      full      the real donated train_step — residual vs fwd+bwd+optimizer
+                is donation/dispatch overhead
+
+    Each stage also reports FLOPs from XLA cost analysis so the per-stage
+    MFU explains the aggregate train MFU (0.365 at r04)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        TrainSpec,
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.losses import (
+        centernet_loss,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.targets import (
+        prepare_centernet_targets,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    PEAK_BF16_FLOPS = 197e12  # TPU v5e peak (bench.py)
+
+    cfg = load_config("configs/base.yaml")
+    spec = DetectorSpec.from_config(cfg)
+    compat = CompatFlags()
+    train_spec = TrainSpec(batch_size=16, mixed_precision=True)
+    bs, max_objects = 16, 500
+    h, w = spec.camera.image_size
+    bev_size = (spec.bev.bev_h, spec.bev.bev_w)
+
+    model = MultiModal3DDetector(spec=spec, dtype=jnp.bfloat16)
+    trainer = Trainer(model, train_spec, compat)
+
+    rs = np.random.RandomState(0)
+    boxes = np.zeros((bs, max_objects, 7), np.float32)
+    labels = np.full((bs, max_objects), -1, np.int64)
+    boxes[:, :10, 0:2] = rs.uniform(-45, 45, (bs, 10, 2))
+    boxes[:, :10, 3:6] = rs.uniform(1, 5, (bs, 10, 3))
+    labels[:, :10] = rs.randint(0, 10, (bs, 10))
+    kc, kl, kr = jax.random.split(jax.random.PRNGKey(0), 3)
+    batch = {
+        "camera_imgs": jax.random.normal(kc, (bs, 6, h, w, 3), jnp.float32),
+        "lidar_points": jax.random.normal(
+            kl, (bs, spec.lidar.max_points, 4), jnp.float32
+        ),
+        "radar_points": jax.random.normal(
+            kr, (bs, spec.radar.num_radars,
+                 spec.radar.max_points_per_sensor, 7), jnp.float32,
+        ),
+        "gt_boxes": jax.device_put(boxes),
+        "gt_labels": jax.device_put(labels),
+        "gt_velocities": jax.device_put(
+            np.zeros((bs, max_objects, 2), np.float32)
+        ),
+    }
+    trainer.init_state(batch)
+    state = trainer.state
+    jax.block_until_ready(batch)
+
+    # the exact loss_fn of make_train_step (train/loop.py:162-213), default
+    # compat (Q14: no augmentation), centernet head
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = model.apply(
+            variables,
+            batch["camera_imgs"], batch["lidar_points"],
+            batch["radar_points"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        targets = prepare_centernet_targets(
+            batch["gt_boxes"], batch["gt_labels"],
+            pc_range=spec.bev.pc_range, bev_size=bev_size,
+            num_classes=spec.num_classes,
+        )
+        losses = centernet_loss(
+            preds, targets,
+            weights=train_spec.loss_weights,
+            double_sigmoid=compat.double_sigmoid_focal,
+        )
+        return losses["total_loss"], (mutated["batch_stats"], losses)
+
+    rng = jax.random.fold_in(trainer.rng, 0)
+
+    targets_jit = jax.jit(
+        lambda gb, gl: prepare_centernet_targets(
+            gb, gl, pc_range=spec.bev.pc_range, bev_size=bev_size,
+            num_classes=spec.num_classes,
+        )
+    )
+    apply_jit = jax.jit(
+        lambda p, bsn, b, r: model.apply(
+            {"params": p, "batch_stats": bsn},
+            b["camera_imgs"], b["lidar_points"], b["radar_points"],
+            train=True, mutable=["batch_stats"], rngs={"dropout": r},
+        )
+    )
+    fwd_jit = jax.jit(loss_fn)
+    grad_jit = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+    (_, (_, _)), grads = grad_jit(
+        state.params, state.batch_stats, batch, rng
+    )
+    jax.block_until_ready(grads)
+
+    def opt_fn(opt_state, params, grads):
+        updates, new_opt = trainer.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt
+
+    opt_jit = jax.jit(opt_fn)
+
+    def time_stage(name, fn, *args, sync, iters=8):
+        for _ in range(2):
+            sync(fn(*args))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        flops = None
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            f = float(ca.get("flops", 0.0))
+            flops = f if f > 0 else None
+        except Exception:
+            pass
+        mfu = flops / dt / PEAK_BF16_FLOPS if flops else None
+        results[f"trainstage_{name}_ms"] = dt * 1e3
+        if mfu is not None:
+            results[f"trainstage_{name}_mfu"] = round(mfu, 4)
+        print(
+            f"# trainstage {name}: {dt * 1e3:.1f} ms"
+            + (f" (MFU {mfu:.3f}, {flops / 1e9:.0f} GFLOP)" if mfu else "")
+        )
+        return dt
+
+    t_targets = time_stage(
+        "targets", targets_jit, batch["gt_boxes"], batch["gt_labels"],
+        sync=lambda o: _sync(o["ind"]),
+    )
+    t_apply = time_stage(
+        "apply", apply_jit, state.params, state.batch_stats, batch, rng,
+        sync=lambda o: _sync(o[0]["heatmap"][0, 0, 0, 0]),
+    )
+    t_fwd = time_stage(
+        "fwd", fwd_jit, state.params, state.batch_stats, batch, rng,
+        sync=lambda o: _sync(o[0]),
+    )
+    t_grad = time_stage(
+        "fwdbwd", grad_jit, state.params, state.batch_stats, batch, rng,
+        sync=lambda o: _sync(o[0][0]),
+    )
+    t_opt = time_stage(
+        "optimizer", opt_jit, state.opt_state, state.params, grads,
+        sync=lambda o: _sync(
+            jax.tree.leaves(o[0])[0].ravel()[0]
+        ),
+        iters=20,
+    )
+
+    # the real donated step
+    st = state
+    for _ in range(2):
+        st, losses = trainer.train_step(st, batch, trainer.rng)
+        _sync(losses["total_loss"])
+    t0 = time.perf_counter()
+    iters = 8
+    for _ in range(iters):
+        st, losses = trainer.train_step(st, batch, trainer.rng)
+    _sync(losses["total_loss"])
+    t_full = (time.perf_counter() - t0) / iters
+    results["trainstage_full_ms"] = t_full * 1e3
+    print(
+        f"# trainstage full: {t_full * 1e3:.1f} ms "
+        f"({bs / t_full:.1f} samples/s)"
+    )
+    print(
+        f"# attribution: fwd {t_fwd * 1e3:.1f} "
+        f"(apply {t_apply * 1e3:.1f} + targets {t_targets * 1e3:.1f} "
+        f"+ loss/overhead {max(0, t_fwd - t_apply - t_targets) * 1e3:.1f}) | "
+        f"bwd {max(0, t_grad - t_fwd) * 1e3:.1f} | "
+        f"optimizer {t_opt * 1e3:.1f} | "
+        f"step residual {max(0, t_full - t_grad - t_opt) * 1e3:.1f}"
+    )
+
+
 def bench_serving(results):
     """Device-resident serving throughput (VERDICT r03 #6): pre-staged
     device batches through the serving jit — mesh=None and a 1-chip mesh —
@@ -794,6 +998,208 @@ def bench_serving(results):
                 )
             finally:
                 server.stop()
+
+
+_AOT_CHILD = r"""
+import json, os, sys, time
+
+t_import0 = time.perf_counter()
+from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()  # BMOD_JAX_CACHE points at the cache under test
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+path = sys.argv[1]
+t0 = time.perf_counter()
+with np.load(path) as z:
+    meta = json.loads(str(z["meta"]))
+    blob = z["u8"].tobytes()
+exp = jexport.deserialize(blob)
+t_load = time.perf_counter() - t0
+
+# a replica needs NO model code even for the weights skeleton: the exported
+# signature carries the avals of every input, variables pytree included
+flat = [jnp.zeros(a.shape, a.dtype) for a in exp.in_avals]
+args, kwargs = jax.tree.unflatten(exp.in_tree, flat)
+jax.block_until_ready(flat)
+
+call = jax.jit(exp.call)
+t0 = time.perf_counter()
+out = call(*args, **kwargs)
+s = float(np.asarray(out["scores"]).sum())  # sync
+t_first = time.perf_counter() - t0
+
+t0 = time.perf_counter()
+iters = 5
+for _ in range(iters):
+    out = call(*args, **kwargs)
+float(np.asarray(out["scores"]).sum())
+t_steady = (time.perf_counter() - t0) / iters
+
+print("AOTWARM " + json.dumps({
+    "load_s": round(t_load, 2),
+    "first_call_s": round(t_first, 2),
+    "steady_ms": round(t_steady * 1e3, 1),
+}), flush=True)
+"""
+
+
+def bench_aotwarm(results):
+    """AOT artifact x persistent compile cache (VERDICT r04 #4): does a
+    replica's first call on the deserialized StableHLO hit `.jax_cache/`?
+    Exports the b=32 serving artifact once, then times a fresh REPLICA
+    PROCESS loading + first-calling it three ways:
+
+      cold    empty cache dir (the r04 95.2 s regime)
+      warm    same dir again — a hit means the jit of `exported.call`
+              keys the persistent cache like any jit
+      repo    the repo's live .jax_cache
+
+    The replica child rebuilds its zero-weight skeleton from the artifact's
+    own in_avals/in_tree — no model code, config, or checkpoint needed to
+    measure compile time."""
+    import os
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        load_config,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+        InferenceServer,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+        export_serving_artifact,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="aotwarm_"))
+    artifact = tmp / "serving_b32.npz"
+    cfg = load_config("configs/base.yaml")
+    server = InferenceServer(config=cfg, batch_size=32)
+    try:
+        t0 = time.perf_counter()
+        export_serving_artifact(server, artifact)
+        print(f"# aot export: {time.perf_counter() - t0:.1f} s "
+              f"({artifact.stat().st_size / 1e6:.1f} MB)")
+    finally:
+        server.stop()
+    del server
+
+    child = tmp / "aot_child.py"
+    child.write_text(_AOT_CHILD)
+    fresh_cache = tmp / "cache"
+
+    def run(tag, cache_dir):
+        env = dict(os.environ, BMOD_JAX_CACHE=str(cache_dir))
+        out = subprocess.run(
+            [sys.executable, str(child), str(artifact)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=str(Path(__file__).parent),
+        )
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        line = [l for l in out.stdout.splitlines() if l.startswith("AOTWARM ")]
+        data = json.loads(line[0][len("AOTWARM "):])
+        results[f"aotwarm_{tag}_first_call_s"] = data["first_call_s"]
+        print(
+            f"# aotwarm {tag}: load {data['load_s']} s, first call "
+            f"{data['first_call_s']} s, steady {data['steady_ms']} ms/batch"
+        )
+        return data
+
+    run("cold", fresh_cache)
+    run("warm", fresh_cache)
+    run("repo", Path(__file__).parent / ".jax_cache")
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_loader(results):
+    """Host input-pipeline throughput (VERDICT r04 #5): collated samples/s
+    from REAL on-disk fixtures — 6 production-size (1600x900) JPEGs + one
+    ~34k-point 5-float lidar .bin per sample, the reference's I/O hot spot
+    (ref: train_detect.py:123-189) — across:
+
+      pil_f32     PIL decode + resize + f32 ImageNet normalize on host
+      pil_uint8   PIL decode + resize, raw uint8 wire (normalize on device)
+      native_u8   uint8 wire + the C lidar loader (csrc/pointprep.cc)
+
+    each at num_workers 1/2/4 (ThreadPoolExecutor inside DataLoader._fetch;
+    PIL/numpy release the GIL). CPU-only — run with BMOD_PLATFORM=cpu."""
+    import pickle
+    import tempfile
+    from pathlib import Path
+
+    from PIL import Image
+
+    from bevfusion_multimodal_3d_object_detection_tpu.data.converter import (
+        write_synthetic_infos,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        DataLoader,
+        NuScenesDataset,
+    )
+
+    n_samples = 8
+    tmp = Path(tempfile.mkdtemp(prefix="loaderbench_"))
+    write_synthetic_infos(str(tmp), splits=("val",),
+                          samples_per_split=n_samples)
+    rng = np.random.RandomState(0)
+    with open(tmp / "nuscenes_infos_val.pkl", "rb") as f:
+        data = pickle.load(f)
+    # realistic content: smooth gradients + noise compress like photos and
+    # cost a real JPEG decode, unlike flat synthetic color fills
+    yy, xx = np.mgrid[0:900, 0:1600]
+    base = ((yy * 0.28 + xx * 0.16) % 256).astype(np.float32)
+    for info in data["infos"]:
+        pts = rng.randn(34000, 5).astype(np.float32) * 10
+        pts.tofile(info["lidar_path"])
+        for cam in info["cams"].values():
+            img = np.clip(
+                base[..., None] + rng.randint(0, 40, (900, 1600, 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(img).save(tmp / cam["filename"], quality=85)
+
+    for variant, kwargs in (
+        ("pil_f32", dict(use_native=False, emit_uint8=False)),
+        ("pil_uint8", dict(use_native=False, emit_uint8=True)),
+        ("native_u8", dict(use_native=True, emit_uint8=True)),
+    ):
+        ds = NuScenesDataset(
+            data_root=str(tmp), split="val", image_size=(448, 800),
+            seed=0, **kwargs,
+        )
+        for workers in (1, 2, 4):
+            loader = DataLoader(
+                ds, batch_size=4, shuffle=False, prefetch=0,
+                num_workers=workers,
+            )
+            for _ in loader:  # warm (page cache, imports)
+                pass
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                n = 0
+                for batch in loader:
+                    n += len(batch["gt_labels"])
+            dt = (time.perf_counter() - t0) / iters
+            key = f"loader_{variant}_w{workers}"
+            results[key] = n / dt
+            print(
+                f"# {key}: {n / dt:.2f} samples/s "
+                f"({dt / n * 1e3:.0f} ms/sample, {n} samples/epoch)"
+            )
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_evalloop(results):
@@ -872,6 +1278,48 @@ def bench_evalloop(results):
         f"{100 * max(0.0, (dt - dt_dev) / dt):.0f}%)"
     )
 
+    # direct host-stack measurement (the subtraction above rides tunnel
+    # variance between the two loops): decoded outputs fetched to host
+    # ONCE, then decode_to_host + compute_metrics timed on pure numpy
+    import jax
+
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+        decode_to_host,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.metrics import (
+        compute_metrics,
+    )
+
+    host_decoded = [
+        jax.tree.map(
+            np.asarray,
+            trainer.eval_step(trainer.state, trainer._device_batch(b)),
+        )
+        for b in batches
+    ]
+
+    def host_stack():
+        preds, gts = [], []
+        for decoded, b in zip(host_decoded, batches):
+            preds.extend(decode_to_host(decoded, score_thresh=0.0))
+            for bi in range(len(b["gt_boxes"])):
+                gts.append(
+                    {"boxes": b["gt_boxes"][bi], "labels": b["gt_labels"][bi]}
+                )
+        return compute_metrics(preds, gts)
+
+    host_stack()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        host_stack()
+    dt_host = (time.perf_counter() - t0) / iters
+    results["evalloop_hoststack_ms_per_sample"] = dt_host * 1e3 / n
+    print(
+        f"# evalloop host stack (decode_to_host + compute_metrics, "
+        f"device transfer excluded): {dt_host * 1e3:.0f} ms for {n} "
+        f"samples = {dt_host * 1e3 / n:.2f} ms/sample"
+    )
+
 
 def main():
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
@@ -902,10 +1350,16 @@ def main():
         bench_geomodel(results)
     if "train" in which:
         bench_train(results)
+    if "trainstages" in which:
+        bench_trainstages(results)
     if "serving" in which:
         bench_serving(results)
     if "evalloop" in which:
         bench_evalloop(results)
+    if "loader" in which:
+        bench_loader(results)
+    if "aotwarm" in which:
+        bench_aotwarm(results)
     print(json.dumps(results, indent=2))
 
 

@@ -38,6 +38,60 @@ def compute_center_distance_matrix(
     return np.sqrt((d * d).sum(axis=2))
 
 
+def _greedy_tp_and_matches(
+    distance_matrix: np.ndarray,
+    pred_scores: np.ndarray,
+    threshold: float,
+) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """ONE greedy score-descending pass shared by AP and the error terms.
+
+    Exact reference semantics (utils_v2.py:13-36 and 42-73 run the SAME
+    greedy — each sorted prediction takes the nearest still-unmatched GT
+    within `threshold`): returns (tp flags aligned to the sorted order,
+    matches as (original_pred_idx, gt_idx)).
+
+    Vectorized pre-filter: a prediction farther than `threshold` from EVERY
+    GT can never match regardless of taken-state, so it is a guaranteed FP
+    and skips the sequential loop entirely — in the production regime
+    (top-K=100 decode, few GTs per class) that removes almost all Python
+    iterations without changing a single assignment.
+    """
+    n, m = distance_matrix.shape
+    order = np.argsort(-pred_scores)
+    d = distance_matrix[order]
+    tp = np.zeros(n)
+    matches: List[Tuple[int, int]] = []
+    if m == 0:
+        return tp, matches
+    taken = np.zeros(m, dtype=bool)
+    for i in np.flatnonzero(d.min(axis=1) <= threshold):
+        dist = np.where(taken, np.inf, d[i])
+        gi = int(np.argmin(dist))
+        if dist[gi] <= threshold:
+            tp[i] = 1.0
+            taken[gi] = True
+            matches.append((int(order[i]), gi))
+            if len(matches) == m:
+                break
+    return tp, matches
+
+
+def _ap_from_tp(tp: np.ndarray, num_gt: int) -> float:
+    """11-point interpolated AP from sorted-order tp flags
+    (ref: utils_v2.py:74-88), vectorized: `recalls` is nondecreasing, so
+    `precisions[recalls >= t].max()` equals the precision suffix-max at the
+    first index where recall reaches t."""
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(1.0 - tp)
+    recalls = tp_cum / num_gt
+    precisions = tp_cum / (tp_cum + fp_cum + 1e-10)
+    suffix_max = np.maximum.accumulate(precisions[::-1])[::-1]
+    idx = np.searchsorted(recalls, np.linspace(0, 1, 11), side="left")
+    inside = idx < len(recalls)
+    vals = np.where(inside, suffix_max[np.minimum(idx, len(recalls) - 1)], 0.0)
+    return float(vals.sum() / 11.0)
+
+
 def match_predictions_to_gt(
     distance_matrix: np.ndarray,
     pred_scores: np.ndarray,
@@ -45,19 +99,7 @@ def match_predictions_to_gt(
 ) -> List[Tuple[int, int]]:
     """Greedy score-descending matching; each GT used once
     (ref: utils_v2.py:13-36)."""
-    n, m = distance_matrix.shape
-    order = np.argsort(-pred_scores)
-    matches: List[Tuple[int, int]] = []
-    taken = np.zeros(m, dtype=bool)
-    for pi in order:
-        if taken.all():
-            break
-        dist = np.where(taken, np.inf, distance_matrix[pi])
-        gi = int(np.argmin(dist))
-        if dist[gi] <= threshold:
-            matches.append((int(pi), gi))
-            taken[gi] = True
-    return matches
+    return _greedy_tp_and_matches(distance_matrix, pred_scores, threshold)[1]
 
 
 def calculate_ap(
@@ -71,32 +113,8 @@ def calculate_ap(
     (ref: utils_v2.py:42-88)."""
     if len(pred_boxes) == 0 or len(gt_boxes) == 0:
         return 0.0
-    order = np.argsort(-pred_scores)
-    tp = np.zeros(len(pred_boxes))
-    fp = np.zeros(len(pred_boxes))
-    taken = np.zeros(len(gt_boxes), dtype=bool)
-    for i, pi in enumerate(order):
-        if not taken.all():
-            dist = np.where(taken, np.inf, distance_matrix[pi])
-            gi = int(np.argmin(dist))
-            if dist[gi] <= threshold:
-                tp[i] = 1
-                taken[gi] = True
-            else:
-                fp[i] = 1
-        else:
-            fp[i] = 1
-
-    tp_cum = np.cumsum(tp)
-    fp_cum = np.cumsum(fp)
-    recalls = tp_cum / len(gt_boxes)
-    precisions = tp_cum / (tp_cum + fp_cum + 1e-10)
-
-    ap = 0.0
-    for t in np.linspace(0, 1, 11):
-        valid = precisions[recalls >= t]
-        ap += (valid.max() if len(valid) > 0 else 0.0) / 11.0
-    return float(ap)
+    tp, _ = _greedy_tp_and_matches(distance_matrix, pred_scores, threshold)
+    return _ap_from_tp(tp, len(gt_boxes))
 
 
 def compute_metrics(
@@ -149,24 +167,31 @@ def compute_metrics(
                 continue
 
             dist_mat = compute_center_distance_matrix(cls_preds, cls_gts)
-            aps_per_class[cls].append(
-                calculate_ap(
-                    cls_preds, cls_scores, cls_gts, dist_mat,
-                    threshold=distance_threshold,
-                )
+            # one greedy pass feeds BOTH the AP and the error terms: the
+            # reference runs the identical matching twice (calculate_ap at
+            # utils_v2.py:42-73, match_predictions_to_gt at :13-36)
+            tp, matches = _greedy_tp_and_matches(
+                dist_mat, cls_scores, distance_threshold
             )
+            aps_per_class[cls].append(_ap_from_tp(tp, len(cls_gts)))
 
-            for pi, gi in match_predictions_to_gt(
-                dist_mat, cls_scores, threshold=distance_threshold
-            ):
-                pb, gb = cls_preds[pi], cls_gts[gi]
-                mates.append(float(np.linalg.norm(pb[:2] - gb[:2])))
-                mases.append(
-                    float(np.mean(np.abs(pb[3:6] - gb[3:6]) / (gb[3:6] + 1e-6)))
+            if matches:
+                mp = np.fromiter((p for p, _ in matches), np.intp)
+                mg = np.fromiter((g for _, g in matches), np.intp)
+                pb, gb = cls_preds[mp], cls_gts[mg]
+                mates.extend(
+                    np.linalg.norm(pb[:, :2] - gb[:, :2], axis=1).tolist()
                 )
-                ang = pb[6] - gb[6]
-                ang = np.arctan2(np.sin(ang), np.cos(ang))
-                maoes.append(abs(float(ang)))
+                mases.extend(
+                    np.mean(
+                        np.abs(pb[:, 3:6] - gb[:, 3:6]) / (gb[:, 3:6] + 1e-6),
+                        axis=1,
+                    ).tolist()
+                )
+                ang = pb[:, 6] - gb[:, 6]
+                maoes.extend(
+                    np.abs(np.arctan2(np.sin(ang), np.cos(ang))).tolist()
+                )
 
     class_aps = [
         float(np.mean(aps_per_class[c])) if aps_per_class[c] else 0.0

@@ -115,6 +115,96 @@ def test_two_process_train_step_matches_single_process(tiny_spec):
     assert want_bn == pytest.approx(bn_seen[0], rel=5e-4)
 
 
+def test_two_process_train_step_parity_lidar_radar():
+    """Default-gate (non-slow) trimmed variant of the 2-process parity proof
+    (VERDICT r04 #7: the full tri-modal test is slow-marked and was only
+    re-proven manually each round): lidar+radar spec — no camera trunk, so
+    the compile fits the default gate — but the SAME assertions: loss, param
+    fingerprint bounded by the optimizer update's L1, and BatchNorm
+    batch_stats (the PointNet BN running stats depend on the global batch
+    exactly like the camera trunk's spatial BN)."""
+    from bevfusion_multimodal_3d_object_detection_tpu.config import (
+        CompatFlags,
+        DetectorSpec,
+        LidarEncoderSpec,
+        RadarEncoderSpec,
+        TrainSpec,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.models import (
+        MultiModal3DDetector,
+    )
+    from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
+
+    import jax
+
+    from conftest import TINY_POINTS, TINY_RADAR_POINTS
+
+    # ---- reference: single-process, same global batch of 4 ----
+    spec = DetectorSpec(
+        use_camera=False,
+        lidar=LidarEncoderSpec(max_points=TINY_POINTS),
+        radar=RadarEncoderSpec(max_points_per_sensor=TINY_RADAR_POINTS),
+    )
+    model = MultiModal3DDetector(spec=spec)
+    trainer = Trainer(model, TrainSpec(batch_size=4), CompatFlags())
+    full = tiny_batch(batch_size=4)
+    trainer.init_state({k: v[:1] for k, v in full.items()})
+    state, losses = trainer.train_step(trainer.state, full, trainer.rng)
+    want_loss = float(losses["total_loss"])
+    want_leaf = float(
+        jax.numpy.sum(jax.tree_util.tree_leaves(state.params)[0])
+    )
+    want_bn = sum(
+        float(jax.numpy.sum(x))
+        for x in jax.tree_util.tree_leaves(state.batch_stats)
+    )
+
+    # ---- 2 real processes, 2 CPU devices each, global mesh of 4 ----
+    worker = Path(__file__).parent / "_multihost_worker.py"
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, "2", str(pid), "lidar_radar"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(Path(__file__).parent),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    losses_seen, leaves_seen, l1_seen, bn_seen = [], [], [], []
+    for out in outs:
+        for tag, bucket in (
+            ("MULTIHOST_LOSS", losses_seen),
+            ("MULTIHOST_LEAF", leaves_seen),
+            ("MULTIHOST_LEAF_UPD_L1", l1_seen),
+            ("MULTIHOST_BN", bn_seen),
+        ):
+            m = re.search(tag + r" ([\d.eE+-]+)", out)
+            assert m, out[-4000:]
+            bucket.append(float(m.group(1)))
+
+    # same tolerance rationale as the tri-modal slow test above
+    assert losses_seen[0] == pytest.approx(losses_seen[1], abs=1e-6)
+    assert want_loss == pytest.approx(losses_seen[0], rel=2e-4)
+    assert leaves_seen[0] == pytest.approx(leaves_seen[1], abs=1e-6)
+    assert abs(want_leaf - leaves_seen[0]) <= 2e-4 * l1_seen[0] + 1e-6
+    assert bn_seen[0] == pytest.approx(bn_seen[1], abs=1e-6)
+    assert want_bn == pytest.approx(bn_seen[0], rel=5e-4)
+
+
 def test_two_process_smoke_distributed_init():
     """Default-gate (non-slow) multi-process coverage: two REAL jax
     processes initialize the coordinator, build the global mesh, assemble a
