@@ -1171,6 +1171,9 @@ def bench_loader(results):
         ("pil_f32", dict(use_native=False, emit_uint8=False)),
         ("pil_uint8", dict(use_native=False, emit_uint8=True)),
         ("native_u8", dict(use_native=True, emit_uint8=True)),
+        # opt-in reduced-DCT-scale JPEG decode (dataset.jpeg_draft_decode)
+        ("draft_u8", dict(use_native=True, emit_uint8=True,
+                          jpeg_draft_decode=True)),
     ):
         ds = NuScenesDataset(
             data_root=str(tmp), split="val", image_size=(448, 800),

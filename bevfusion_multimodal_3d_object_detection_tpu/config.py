@@ -535,6 +535,13 @@ class DataSpec:
     radar_num_sweeps: int = 1
     image_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     image_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # opt-in loader speedup: JPEG decode at a reduced DCT scale via PIL's
+    # draft mode (decode lands at the smallest power-of-two scale >= the
+    # target size, then bilinear to exact). ~2x per-image decode cost at
+    # nuScenes geometry (1600x900 -> 800x450 -> 800x448). Off by default:
+    # pixel values differ slightly from the reference's full-decode +
+    # resize (ref: train_detect.py:129-137).
+    jpeg_draft_decode: bool = False
 
     @staticmethod
     def from_config(cfg: Optional[Dict]) -> "DataSpec":
@@ -568,6 +575,7 @@ class DataSpec:
             radar_num_sweeps=d.get("radar_num_sweeps", 1),
             image_mean=tuple(aug_norm.get("mean", (0.485, 0.456, 0.406))),
             image_std=tuple(aug_norm.get("std", (0.229, 0.224, 0.225))),
+            jpeg_draft_decode=bool(d.get("jpeg_draft_decode", False)),
         )
 
 

@@ -38,12 +38,27 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def _load_image(path: Path, h: int, w: int) -> np.ndarray:
-    """PIL decode + bilinear resize + [0,1] + ImageNet normalize -> (H, W, 3)."""
+def _decode_image(path: Path, h: int, w: int, draft: bool) -> "Image.Image":
+    """PIL decode + bilinear resize -> RGB image at (w, h).
+
+    `draft=True` asks the JPEG decoder for the smallest power-of-two DCT
+    scale >= the target (1600x900 -> 800x450 for the production 448x800),
+    roughly halving decode cost; the bilinear resize to the exact size still
+    runs. Off by default — pixel values differ slightly from the
+    reference's full decode (ref: train_detect.py:129-137)."""
     from PIL import Image
 
-    img = Image.open(path).convert("RGB").resize((w, h), Image.BILINEAR)
-    arr = np.asarray(img, np.float32) / 255.0
+    img = Image.open(path)
+    if draft:
+        img.draft("RGB", (w, h))
+    return img.convert("RGB").resize((w, h), Image.BILINEAR)
+
+
+def _load_image(
+    path: Path, h: int, w: int, draft: bool = False
+) -> np.ndarray:
+    """PIL decode + bilinear resize + [0,1] + ImageNet normalize -> (H, W, 3)."""
+    arr = np.asarray(_decode_image(path, h, w, draft), np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
@@ -133,6 +148,7 @@ class NuScenesDataset:
         emit_uint8: bool = False,
         num_sweeps: int = 1,
         radar_num_sweeps: int = 1,
+        jpeg_draft_decode: bool = False,
     ):
         if config is not None:
             ds = DataSpec.from_config(config)
@@ -144,6 +160,7 @@ class NuScenesDataset:
             pc_range = ds.pc_range
             num_sweeps = ds.num_sweeps
             radar_num_sweeps = ds.radar_num_sweeps
+            jpeg_draft_decode = ds.jpeg_draft_decode
             compat = CompatFlags.from_config(config)
             # the geometric camera-to-BEV path needs per-sample frustum
             # cells (and, for splat_mode: pallas, the sorted chunk plans) —
@@ -215,6 +232,7 @@ class NuScenesDataset:
         self.emit_uint8 = emit_uint8
         self.num_sweeps = num_sweeps
         self.radar_num_sweeps = radar_num_sweeps
+        self.jpeg_draft_decode = jpeg_draft_decode
         self.bev_h, self.bev_w = bev_h, bev_w
         self.depth_bins = depth_bins
         self.depth_min, self.depth_max = depth_min, depth_max
@@ -242,13 +260,12 @@ class NuScenesDataset:
         if self.emit_uint8:
             # ship raw bytes; normalization happens on device inside the
             # jitted step (ops/preprocess.normalize_images)
-            from PIL import Image
-
             imgs = [
                 np.asarray(
-                    Image.open(self.data_root / info["cams"][cam]["filename"])
-                    .convert("RGB")
-                    .resize((w, h), Image.BILINEAR),
+                    _decode_image(
+                        self.data_root / info["cams"][cam]["filename"],
+                        h, w, self.jpeg_draft_decode,
+                    ),
                     np.uint8,
                 )
                 for cam in CAMERA_ORDER
@@ -256,7 +273,8 @@ class NuScenesDataset:
         else:
             imgs = [
                 _load_image(
-                    self.data_root / info["cams"][cam]["filename"], h, w
+                    self.data_root / info["cams"][cam]["filename"], h, w,
+                    self.jpeg_draft_decode,
                 )
                 for cam in CAMERA_ORDER
             ]

@@ -68,3 +68,39 @@ def test_filter_pad_points_subsample_with_key():
 def test_radar_noise_shape():
     out = preprocess_radar_noise(jax.random.PRNGKey(0), batch=3)
     assert out.shape == (3, 5, 125, 7)
+
+
+def test_jpeg_draft_decode_close_to_full_decode(tmp_path):
+    """dataset.jpeg_draft_decode (opt-in loader speedup): reduced-DCT-scale
+    JPEG decode + bilinear must land within JPEG-noise distance of the full
+    decode + resize path, and be a no-op when no downscale is possible."""
+    import numpy as np
+    from PIL import Image
+
+    from bevfusion_multimodal_3d_object_detection_tpu.data.dataset import (
+        _decode_image,
+    )
+
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:256, 0:512]
+    img = np.clip(
+        (yy * 0.7 + xx * 0.4)[..., None] % 256
+        + rng.randint(0, 25, (256, 512, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    path = tmp_path / "cam.jpg"
+    Image.fromarray(img).save(path, quality=90)
+
+    full = np.asarray(_decode_image(path, 64, 128, draft=False), np.float32)
+    draft = np.asarray(_decode_image(path, 64, 128, draft=True), np.float32)
+    assert full.shape == draft.shape == (64, 128, 3)
+    assert np.mean(np.abs(full - draft)) < 4.0  # JPEG-noise scale, not content
+
+    # upscale target: draft cannot help and must not distort
+    full_up = np.asarray(
+        _decode_image(path, 300, 600, draft=False), np.float32
+    )
+    draft_up = np.asarray(
+        _decode_image(path, 300, 600, draft=True), np.float32
+    )
+    np.testing.assert_array_equal(full_up, draft_up)
