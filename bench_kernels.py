@@ -1000,6 +1000,33 @@ def bench_serving(results):
                 server.stop()
 
 
+_AOT_EXPORT_CHILD = r"""
+import sys, time
+from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+from bevfusion_multimodal_3d_object_detection_tpu.config import load_config
+from bevfusion_multimodal_3d_object_detection_tpu.serving import (
+    InferenceServer,
+)
+from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
+    export_serving_artifact,
+)
+
+artifact = sys.argv[1]
+cfg = load_config("configs/base.yaml")
+t0 = time.perf_counter()
+server = InferenceServer(config=cfg, batch_size=32)
+try:
+    export_serving_artifact(server, artifact)
+finally:
+    server.stop()
+print(f"AOTEXPORT {time.perf_counter() - t0:.1f}", flush=True)
+"""
+
+
 _AOT_CHILD = r"""
 import json, os, sys, time
 
@@ -1062,47 +1089,56 @@ def bench_aotwarm(results):
 
     The replica child rebuilds its zero-weight skeleton from the artifact's
     own in_avals/in_tree — no model code, config, or checkpoint needed to
-    measure compile time."""
+    measure compile time.
+
+    EVERY jax-touching step (export included) runs in its own subprocess:
+    the tunneled TPU is single-tenant, and a parent that has initialized
+    the backend holds the claim for its whole lifetime — a child would
+    then fail to register the axon backend at all. main() dispatches this
+    mode before the parent imports jax for the same reason."""
     import os
     import subprocess
     import tempfile
     from pathlib import Path
 
-    from bevfusion_multimodal_3d_object_detection_tpu.config import (
-        load_config,
-    )
-    from bevfusion_multimodal_3d_object_detection_tpu.serving import (
-        InferenceServer,
-    )
-    from bevfusion_multimodal_3d_object_detection_tpu.utils.aot import (
-        export_serving_artifact,
-    )
-
     tmp = Path(tempfile.mkdtemp(prefix="aotwarm_"))
     artifact = tmp / "serving_b32.npz"
-    cfg = load_config("configs/base.yaml")
-    server = InferenceServer(config=cfg, batch_size=32)
-    try:
-        t0 = time.perf_counter()
-        export_serving_artifact(server, artifact)
-        print(f"# aot export: {time.perf_counter() - t0:.1f} s "
-              f"({artifact.stat().st_size / 1e6:.1f} MB)")
-    finally:
-        server.stop()
-    del server
+
+    def spawn(script_path, argv, extra_env):
+        # child scripts live under /tmp (sys.path[0] useless) — the repo
+        # root must come via PYTHONPATH. APPEND to the inherited value:
+        # this environment delivers its TPU-plugin sitecustomize through
+        # PYTHONPATH, and replacing it leaves the requested platform
+        # unregistered ("Backend 'axon' is not in the list...").
+        inherited = os.environ.get("PYTHONPATH", "")
+        repo = str(Path(__file__).parent)
+        env = dict(
+            os.environ,
+            PYTHONPATH=f"{repo}:{inherited}" if inherited else repo,
+            **extra_env,
+        )
+        out = subprocess.run(
+            [sys.executable, str(script_path)] + argv,
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=str(Path(__file__).parent),
+        )
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        return out
+
+    exp_child = tmp / "aot_export_child.py"
+    exp_child.write_text(_AOT_EXPORT_CHILD)
+    out = spawn(exp_child, [str(artifact)], {})
+    line = [l for l in out.stdout.splitlines() if l.startswith("AOTEXPORT ")]
+    print(f"# aot export (build+export, own process): {line[0].split()[1]} s "
+          f"({artifact.stat().st_size / 1e6:.1f} MB)")
 
     child = tmp / "aot_child.py"
     child.write_text(_AOT_CHILD)
     fresh_cache = tmp / "cache"
 
     def run(tag, cache_dir):
-        env = dict(os.environ, BMOD_JAX_CACHE=str(cache_dir))
-        out = subprocess.run(
-            [sys.executable, str(child), str(artifact)],
-            capture_output=True, text=True, timeout=1800, env=env,
-            cwd=str(Path(__file__).parent),
-        )
-        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        out = spawn(child, [str(artifact)],
+                    {"BMOD_JAX_CACHE": str(cache_dir)})
         line = [l for l in out.stdout.splitlines() if l.startswith("AOTWARM ")]
         data = json.loads(line[0][len("AOTWARM "):])
         results[f"aotwarm_{tag}_first_call_s"] = data["first_call_s"]
@@ -1325,6 +1361,18 @@ def bench_evalloop(results):
 
 
 def main():
+    which = set(sys.argv[1:]) or {"pointnet", "bevpool", "foldbn"}
+    results = {}
+    if "aotwarm" in which:
+        # runs FIRST, before the parent imports jax: the tunneled TPU is
+        # single-tenant, and a parent holding the backend claim makes the
+        # replica subprocesses fail axon registration
+        bench_aotwarm(results)
+        which.discard("aotwarm")
+        if not which:
+            print(json.dumps(results, indent=2))
+            return
+
     from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
         enable_compilation_cache,
     )
@@ -1333,8 +1381,6 @@ def main():
     import jax
 
     print(f"# backend: {jax.default_backend()} devices: {jax.devices()}")
-    which = set(sys.argv[1:]) or {"pointnet", "bevpool", "foldbn"}
-    results = {}
     if "pointnet" in which:
         bench_pointnet(results)
     if "bevpool" in which:
@@ -1361,8 +1407,6 @@ def main():
         bench_evalloop(results)
     if "loader" in which:
         bench_loader(results)
-    if "aotwarm" in which:
-        bench_aotwarm(results)
     print(json.dumps(results, indent=2))
 
 

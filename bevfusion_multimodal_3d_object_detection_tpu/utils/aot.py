@@ -17,6 +17,18 @@ dtype, git commit) for provenance and load-time validation.
 Weights stay ARGUMENTS of the exported computation (the serving graph takes
 `variables` explicitly), so an artifact pairs with any checkpoint of the
 same config — export once per config, hot-swap weights per deploy.
+
+Persistent-compile-cache interplay (measured round 5, `bench_kernels.py
+aotwarm`): the jit of the deserialized `Exported.call` DOES key the
+persistent cache like any jit (entries are written and hit). But on the
+tunneled single-tenant TPU of this environment a HIT is 2.5-4x SLOWER
+than a cold miss (two paired runs: miss 54/252 s vs hit 642/1092 s; the
+entry itself is only 6.8 MB): the miss compiles on the TPU server host,
+while the hit's executable-deserialize path runs on the weak local core.
+Replicas on such a link should start with `BMOD_JAX_CACHE=off`; on a
+directly-attached TPU host the hit is a local deserialize and is the
+fast path. Absolute warmup also varies ~5x run-to-run with server load
+(ARCHITECTURE.md "AOT deployment").
 """
 
 from __future__ import annotations

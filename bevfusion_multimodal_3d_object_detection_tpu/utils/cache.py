@@ -27,7 +27,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         except Exception:
             pass
 
-    d = Path(cache_dir or os.environ.get("BMOD_JAX_CACHE", _DEFAULT_DIR))
+    env_dir = os.environ.get("BMOD_JAX_CACHE")
+    if cache_dir is None and env_dir is not None and (
+        env_dir.strip().lower() in ("", "0", "off", "none")
+    ):
+        # BMOD_JAX_CACHE=off disables the persistent cache. Measured use
+        # case (`bench_kernels.py aotwarm`, round 5): on the tunneled
+        # single-tenant TPU a persistent-cache HIT on the big AOT serving
+        # graph is 2.5-4x SLOWER than a cold miss — the miss compiles
+        # server-side, while the hit's executable-deserialize path runs on
+        # the 1-core local host. Replicas starting from an AOT artifact on
+        # this link should disable the cache; on a directly-attached TPU
+        # host the hit path is a local deserialize and helps.
+        return
+    d = Path(cache_dir or env_dir or _DEFAULT_DIR)
     d.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(d))

@@ -191,3 +191,36 @@ def test_aot_camera_off_config_serves_uint8_warmup(tmp_path):
     )
     with aot:  # start(warmup=True) exercises the uint8 wire
         pass
+
+
+def test_cache_kill_switch_env(monkeypatch, tmp_path):
+    """BMOD_JAX_CACHE=off disables the persistent compile cache (the AOT
+    replica recommendation for tunneled links — utils/aot.py docstring);
+    an explicit cache_dir argument still wins over the env kill-switch."""
+    import jax
+
+    from bevfusion_multimodal_3d_object_detection_tpu.utils.cache import (
+        enable_compilation_cache,
+    )
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        for off in ("off", "", "0", "none", " OFF "):
+            monkeypatch.setenv("BMOD_JAX_CACHE", off)
+            enable_compilation_cache()
+            assert jax.config.jax_compilation_cache_dir == before
+
+        # explicit argument beats the env kill-switch
+        explicit = tmp_path / "cache"
+        monkeypatch.setenv("BMOD_JAX_CACHE", "off")
+        enable_compilation_cache(cache_dir=str(explicit))
+        assert jax.config.jax_compilation_cache_dir == str(explicit)
+        assert explicit.is_dir()
+
+        # a real env dir is still honored
+        env_dir = tmp_path / "envcache"
+        monkeypatch.setenv("BMOD_JAX_CACHE", str(env_dir))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(env_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
