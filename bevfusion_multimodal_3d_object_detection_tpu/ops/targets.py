@@ -169,13 +169,39 @@ def prepare_centernet_targets(
     gauss = jnp.exp(-dist2 / (2.0 * sigma * sigma)[:, :, None, None])
     gauss = jnp.where(within & valid[:, :, None, None], gauss, 0.0)
 
-    # scatter-max each object's window into its class plane
-    heatmap = jnp.zeros((b, h, w, num_classes), jnp.float32)
-    b_ix = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
-    cls_ix = jnp.where(valid, labels, 0).reshape(-1)
-    heatmap = heatmap.at[b_ix, :, :, cls_ix].max(
-        gauss.reshape(b * m, h, w), mode="drop"
-    )
+    # Max-composite each object's window into its class plane. All three
+    # formulations below are BITWISE identical (max reassociation is exact;
+    # verified on TPU, round 5); which is fastest depends on the grid
+    # (b=16, M=500 probe: 50x50 masked-max 3.05 ms vs scatter 4.10;
+    # 100x100 per-class 9.00 vs scatter 9.60). Invalid/padded rows have
+    # gauss == 0 everywhere, so they never beat a real contribution.
+    onehot = (labels[..., None] == jnp.arange(num_classes)) & valid[..., None]
+    b_ix = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)  # also scatter_dense
+    if h * w <= 2500:
+        # one (B, M, H, W, C) masked max over objects, C on lanes
+        heatmap = jnp.max(
+            jnp.where(onehot[:, :, None, None, :], gauss[..., None], 0.0),
+            axis=1,
+        )
+    elif h * w <= 10000:
+        # per-class masked max, HW on lanes (C unrolled in the trace)
+        heatmap = jnp.stack(
+            [
+                jnp.max(
+                    jnp.where(onehot[..., c][:, :, None, None], gauss, 0.0),
+                    axis=1,
+                )
+                for c in range(num_classes)
+            ],
+            axis=-1,
+        )
+    else:
+        # huge grids: one scatter-max, no x C blowup
+        heatmap = jnp.zeros((b, h, w, num_classes), jnp.float32)
+        cls_ix = jnp.where(valid, labels, 0).reshape(-1)
+        heatmap = heatmap.at[b_ix, :, :, cls_ix].max(
+            gauss.reshape(b * m, h, w), mode="drop"
+        )
 
     # ---- sparse regression targets ------------------------------------------
     cx_c = jnp.clip(cx, 0, w - 1)
