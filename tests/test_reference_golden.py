@@ -34,9 +34,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# APPEND (not insert at 0): the reference src also ships top-level eval.py /
+# inference.py / train_detect.py, which would shadow this repo's root-level
+# scripts of the same names for the rest of the pytest session if the
+# reference tree sat ahead of the repo on sys.path.
 REF_SRC = "/root/reference/src"
 if REF_SRC not in sys.path:
-    sys.path.insert(0, REF_SRC)
+    sys.path.append(REF_SRC)
 
 ref_ct = pytest.importorskip("centernet_target")
 ref_uv2 = pytest.importorskip("utils_v2")
@@ -224,6 +228,9 @@ def assert_decode_matches(ref_out, our_host, score_thresh):
     for b, (r, o) in enumerate(zip(ref_out, our_host)):
         r_boxes = r["boxes"].numpy()
         r_scores = r["scores"].numpy()
+        # both sides must actually have applied the threshold filter
+        assert (o["scores"] >= score_thresh).all(), f"sample {b}"
+        assert (r_scores >= score_thresh).all(), f"sample {b}"
         r_labels = r["labels"].numpy()
         r_vel = r["velocities"].numpy()
         assert o["boxes"].shape == r_boxes.shape, (
