@@ -1,0 +1,216 @@
+"""Golden FULL-MODEL parity against the ACTUAL reference network.
+
+`tests/test_reference_checkpoint.py` proves the checkpoint-migration path
+against `utils/torch_baseline.TorchReferenceDetector` — our own torch mirror
+of the reference topology, which could in principle share a misreading with
+the flax implementation. This file removes that residual risk for the
+camera-free modalities: it imports the reference's LIVE model code
+(`/root/reference/src/fusion.py` + `encoders.py`), builds
+`create_detector(...)` exactly as the reference does
+(ref: fusion.py:1148-1221), migrates its real `state_dict()` through
+`utils/reference_convert.convert_reference_checkpoint`, and asserts our
+detector reproduces the reference forward end to end.
+
+The reference's `encoders.py` imports torchvision at module level
+(encoders.py:11) solely for the ResNet camera trunk (encoders.py:98);
+torchvision is not installed here, so it is stubbed in sys.modules with a
+loud failure if anything actually asks for a ResNet. Camera-inclusive
+modalities therefore cannot be constructed from the live reference code in
+this environment — they stay covered by test_reference_checkpoint.py, and
+by the real-weights migration path the moment a real .pth exists.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# --- torchvision stub (must precede the reference import) ------------------
+# encoders.py only touches torchvision inside ResNetCameraEncoder
+# (encoders.py:96-101); every test here is camera-free. setdefault keeps a
+# real torchvision if one ever appears in the image.
+if "torchvision" not in sys.modules:
+    _tv = types.ModuleType("torchvision")
+    _tvm = types.ModuleType("torchvision.models")
+
+    def _no_resnet(*args, **kwargs):  # pragma: no cover - guard
+        raise RuntimeError(
+            "torchvision stubbed for golden model tests: the camera trunk "
+            "cannot be built in this environment"
+        )
+
+    for _name in ("resnet18", "resnet34", "resnet50"):
+        setattr(_tvm, _name, _no_resnet)
+    _tv.models = _tvm
+    sys.modules["torchvision"] = _tv
+    sys.modules["torchvision.models"] = _tvm
+
+# APPEND, not insert(0): see test_reference_golden.py (the reference src
+# ships top-level eval.py/inference.py/train_detect.py that would shadow the
+# repo's root scripts if it sat ahead on sys.path).
+REF_SRC = "/root/reference/src"
+if REF_SRC not in sys.path:
+    sys.path.append(REF_SRC)
+
+ref_fusion = pytest.importorskip("fusion")
+
+import jax.numpy as jnp
+
+from bevfusion_multimodal_3d_object_detection_tpu.models.detector import (
+    create_detector,
+)
+from bevfusion_multimodal_3d_object_detection_tpu.utils.reference_convert import (
+    convert_reference_checkpoint,
+)
+
+BRANCHES = ("heatmap", "offset", "size", "rot", "vel")
+
+
+def _forward_pair(modality, seed, boost_heads=False):
+    """Build reference + our detector, migrate weights, run both forwards.
+
+    boost_heads re-randomizes the final conv of every head branch at unit
+    scale BEFORE migration: at the reference's N(0, 0.001) init + -4.595
+    heatmap prior bias (fusion.py:856-869) the whole heatmap ties at 0.01,
+    which makes top-K selection pure tie-breaking and box-for-box decode
+    comparison meaningless. Both models still run identical weights."""
+    torch.manual_seed(seed)
+    ref = ref_fusion.create_detector(
+        modality, "bev", "centernet", num_classes=10
+    ).eval()
+    if boost_heads:
+        for branch in BRANCHES:
+            head = getattr(ref.det_head, f"{branch}_head")
+            # heatmap stays at a small scale: unit-scale logits saturate the
+            # sigmoid, compressing top scores to ~1e-7 gaps where torch and
+            # XLA top-K disagree on float-ULP near-ties (one voxel shift).
+            scale = 0.05 if branch == "heatmap" else 1.0
+            with torch.no_grad():
+                head[2].weight.normal_(0.0, scale)
+                head[2].bias.normal_(0.0, scale)
+    params, stats = convert_reference_checkpoint(ref.state_dict())
+
+    ours = create_detector(modality, "bev", "centernet", num_classes=10)
+
+    rng = np.random.RandomState(seed + 1)
+    b, n_lidar, n_radar = 2, 64, 16
+    lidar = rng.randn(b, n_lidar, 4).astype(np.float32)
+    radars = rng.randn(b, 5, n_radar, 7).astype(np.float32)
+    use_lidar = "lidar" in modality
+    use_radar = "radar" in modality
+
+    out_jax = ours.apply(
+        {"params": params, "batch_stats": stats},
+        None,
+        jnp.asarray(lidar) if use_lidar else None,
+        jnp.asarray(radars) if use_radar else None,
+        train=False,
+    )
+    with torch.no_grad():
+        out_torch = ref(
+            camera_imgs=None,
+            lidar_points=torch.from_numpy(lidar) if use_lidar else None,
+            radar_points=(
+                [torch.from_numpy(radars[:, i]) for i in range(5)]
+                if use_radar
+                else None
+            ),
+        )
+    return out_jax, out_torch
+
+
+@pytest.mark.parametrize("modality", ["lidar+radar", "lidar_only",
+                                      "radar_only"])
+def test_full_model_forward_matches_live_reference(modality):
+    """Our detector == the reference's FlexibleMultiModal3DDetector
+    (fusion.py:946) with ITS weights, eval mode, BEV fusion + CenterNet."""
+    out_jax, out_torch = _forward_pair(modality, seed=0)
+    for key in BRANCHES:
+        got = np.asarray(out_jax[key])
+        want = out_torch[key].numpy().transpose(0, 2, 3, 1)
+        assert got.shape == want.shape, key
+        np.testing.assert_allclose(
+            got, want, atol=1e-5, rtol=1e-5, err_msg=f"{modality}:{key}"
+        )
+
+
+def test_live_reference_state_dict_layout_is_fully_consumed():
+    """Every learnable tensor in the real reference state_dict must be
+    consumed by the converter (no silently-dropped weights), and the
+    converted tree must slot into our model's init tree unchanged."""
+    import jax
+
+    torch.manual_seed(3)
+    ref = ref_fusion.create_detector(
+        "lidar+radar", "bev", "centernet", num_classes=10
+    ).eval()
+    sd = ref.state_dict()
+    params, stats = convert_reference_checkpoint(sd)
+
+    n_src = sum(
+        v.numel() for k, v in sd.items() if "num_batches_tracked" not in k
+    )
+    n_dst = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves((params, stats))
+    )
+    assert n_src == n_dst, f"converter dropped weights: {n_src} vs {n_dst}"
+
+    ours = create_detector("lidar+radar", "bev", "centernet", num_classes=10)
+    rng = np.random.RandomState(0)
+    init_vars = ours.init(
+        {"params": jax.random.PRNGKey(0)},
+        None,
+        jnp.asarray(rng.randn(1, 64, 4).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 5, 16, 7).astype(np.float32)),
+        train=False,
+    )
+    assert jax.tree_util.tree_structure(init_vars["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(np.asarray, params)
+        )
+    )
+
+
+def test_full_model_decode_matches_live_reference():
+    """End-to-end: reference model -> reference decode vs our model (same
+    migrated weights) -> our decode. Detections must agree box-for-box."""
+    from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
+        decode_centernet_predictions,
+        decode_to_host,
+    )
+
+    ref_ct = pytest.importorskip("centernet_target")
+
+    out_jax, out_torch = _forward_pair("lidar+radar", seed=7,
+                                       boost_heads=True)
+    ref_det = ref_ct.decode_centernet_predictions(
+        out_torch, score_thresh=0.0, max_detections=20
+    )
+    ours_det = decode_to_host(
+        decode_centernet_predictions(
+            out_jax, max_detections=20, voxel_size=2.048
+        ),
+        score_thresh=0.0,
+    )
+    assert len(ref_det) == len(ours_det)
+    for r, o in zip(ref_det, ours_det):
+        # The global-feature BEV fusion broadcasts one vector spatially, so
+        # the heatmap is periodic with hundreds of EXACTLY tied peaks; both
+        # torch.topk and XLA top_k break ties by lowest index and select the
+        # same cell set, but the order WITHIN a tie plateau is not part of
+        # the decode contract — compare rows sorted by coordinates.
+        r_rows = np.concatenate(
+            [r["boxes"].numpy(), r["scores"].numpy()[:, None],
+             r["velocities"].numpy()], axis=1
+        )
+        o_rows = np.concatenate(
+            [o["boxes"], o["scores"][:, None], o["velocities"]], axis=1
+        )
+        r_rows = r_rows[np.lexsort(r_rows[:, :3].T)]
+        o_rows = o_rows[np.lexsort(o_rows[:, :3].T)]
+        np.testing.assert_allclose(o_rows, r_rows, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(o["labels"], r["labels"].numpy())
