@@ -12,12 +12,16 @@ camera-free modalities: it imports the reference's LIVE model code
 detector reproduces the reference forward end to end.
 
 The reference's `encoders.py` imports torchvision at module level
-(encoders.py:11) solely for the ResNet camera trunk (encoders.py:98);
-torchvision is not installed here, so it is stubbed in sys.modules with a
-loud failure if anything actually asks for a ResNet. Camera-inclusive
-modalities therefore cannot be constructed from the live reference code in
-this environment — they stay covered by test_reference_checkpoint.py, and
-by the real-weights migration path the moment a real .pth exists.
+(encoders.py:11) solely for the ResNet-18 camera trunk (encoders.py:98);
+torchvision is not installed here, so a faithful stub is installed in
+sys.modules BEFORE the reference import: `resnet18()` returns the standard
+torchvision topology (7x7/2 stem, maxpool 3/2/1, four 2-BasicBlock stages
+with `downsample.{0,1}` shortcut naming) so the reference's
+ResNetCameraEncoder builds and state_dicts EXACTLY as it would against real
+torchvision — the reference only harvests conv1/bn1/relu/maxpool/layer1-3
+(encoders.py:102-110). `pretrained=True` yields the same topology with
+random weights (no network here); parity never depends on weight VALUES
+because the reference's actual state_dict is migrated into our model.
 """
 
 import sys
@@ -29,20 +33,77 @@ import pytest
 torch = pytest.importorskip("torch")
 
 # --- torchvision stub (must precede the reference import) ------------------
-# encoders.py only touches torchvision inside ResNetCameraEncoder
-# (encoders.py:96-101); every test here is camera-free. setdefault keeps a
-# real torchvision if one ever appears in the image.
+# encoders.py touches torchvision only inside ResNetCameraEncoder
+# (encoders.py:96-101), harvesting conv1/bn1/relu/maxpool/layer1-3 off a
+# resnet18. The stub reproduces torchvision's resnet18 module layout
+# (attribute names, Sequential block indices, downsample naming) so the
+# harvested submodules — and therefore the reference detector's state_dict
+# keys — are identical to a real-torchvision build. The `if not in
+# sys.modules` guard keeps a real torchvision if one ever appears.
 if "torchvision" not in sys.modules:
-    _tv = types.ModuleType("torchvision")
-    _tvm = types.ModuleType("torchvision.models")
+    import torch.nn as _nn
+
+    class _TVBasicBlock(_nn.Module):
+        """torchvision.models.resnet.BasicBlock layout (expansion=1)."""
+
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = _nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = _nn.BatchNorm2d(cout)
+            self.relu = _nn.ReLU(inplace=True)
+            self.conv2 = _nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = _nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = _nn.Sequential(
+                    _nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    _nn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + identity)
+
+    class _TVResNet18(_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = _nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = _nn.BatchNorm2d(64)
+            self.relu = _nn.ReLU(inplace=True)
+            self.maxpool = _nn.MaxPool2d(3, 2, 1)
+            self.layer1 = _nn.Sequential(
+                _TVBasicBlock(64, 64), _TVBasicBlock(64, 64)
+            )
+            self.layer2 = _nn.Sequential(
+                _TVBasicBlock(64, 128, 2), _TVBasicBlock(128, 128)
+            )
+            self.layer3 = _nn.Sequential(
+                _TVBasicBlock(128, 256, 2), _TVBasicBlock(256, 256)
+            )
+            self.layer4 = _nn.Sequential(
+                _TVBasicBlock(256, 512, 2), _TVBasicBlock(512, 512)
+            )
+
+    def _resnet18(pretrained=False, **kwargs):
+        # No network in this environment: pretrained=True (the reference
+        # default, fusion.py:1020) gets the same randomly-initialized
+        # topology. Golden parity migrates whatever weights exist, so
+        # values are irrelevant; only the layout must match torchvision.
+        return _TVResNet18()
 
     def _no_resnet(*args, **kwargs):  # pragma: no cover - guard
         raise RuntimeError(
-            "torchvision stubbed for golden model tests: the camera trunk "
-            "cannot be built in this environment"
+            "torchvision stubbed for golden model tests: only resnet18 "
+            "is provided (the reference only builds resnet18, "
+            "encoders.py:97-99)"
         )
 
-    for _name in ("resnet18", "resnet34", "resnet50"):
+    _tv = types.ModuleType("torchvision")
+    _tvm = types.ModuleType("torchvision.models")
+    _tvm.resnet18 = _resnet18
+    for _name in ("resnet34", "resnet50"):
         setattr(_tvm, _name, _no_resnet)
     _tv.models = _tvm
     sys.modules["torchvision"] = _tv
@@ -76,11 +137,22 @@ def _forward_pair(modality, seed, boost_heads=False):
     scale BEFORE migration: at the reference's N(0, 0.001) init + -4.595
     heatmap prior bias (fusion.py:856-869) the whole heatmap ties at 0.01,
     which makes top-K selection pure tie-breaking and box-for-box decode
-    comparison meaningless. Both models still run identical weights."""
+    comparison meaningless. Both models still run identical weights.
+
+    BatchNorm running stats are re-randomized away from the (0, 1) init so
+    eval-mode normalization actually exercises the running_mean/running_var
+    migration path for every BN in the live reference layout."""
     torch.manual_seed(seed)
     ref = ref_fusion.create_detector(
         modality, "bev", "centernet", num_classes=10
     ).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(
+                m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)
+            ):
+                m.running_mean.normal_(0.0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
     if boost_heads:
         for branch in BRANCHES:
             head = getattr(ref.det_head, f"{branch}_head")
@@ -96,22 +168,25 @@ def _forward_pair(modality, seed, boost_heads=False):
     ours = create_detector(modality, "bev", "centernet", num_classes=10)
 
     rng = np.random.RandomState(seed + 1)
-    b, n_lidar, n_radar = 2, 64, 16
+    b, n_lidar, n_radar, img_h, img_w = 2, 64, 16, 32, 64
+    cams = rng.rand(b, 6, 3, img_h, img_w).astype(np.float32)
     lidar = rng.randn(b, n_lidar, 4).astype(np.float32)
     radars = rng.randn(b, 5, n_radar, 7).astype(np.float32)
+    use_camera = "camera" in modality
     use_lidar = "lidar" in modality
     use_radar = "radar" in modality
 
     out_jax = ours.apply(
         {"params": params, "batch_stats": stats},
-        None,
+        # ours is NHWC (B, N_cam, H, W, 3); the reference is NCHW
+        jnp.asarray(cams.transpose(0, 1, 3, 4, 2)) if use_camera else None,
         jnp.asarray(lidar) if use_lidar else None,
         jnp.asarray(radars) if use_radar else None,
         train=False,
     )
     with torch.no_grad():
         out_torch = ref(
-            camera_imgs=None,
+            camera_imgs=torch.from_numpy(cams) if use_camera else None,
             lidar_points=torch.from_numpy(lidar) if use_lidar else None,
             radar_points=(
                 [torch.from_numpy(radars[:, i]) for i in range(5)]
@@ -122,8 +197,17 @@ def _forward_pair(modality, seed, boost_heads=False):
     return out_jax, out_torch
 
 
-@pytest.mark.parametrize("modality", ["lidar+radar", "lidar_only",
-                                      "radar_only"])
+@pytest.mark.parametrize(
+    "modality",
+    [
+        "camera+lidar+radar",
+        "camera_only",
+        "camera+lidar",
+        "lidar+radar",
+        "lidar_only",
+        "radar_only",
+    ],
+)
 def test_full_model_forward_matches_live_reference(modality):
     """Our detector == the reference's FlexibleMultiModal3DDetector
     (fusion.py:946) with ITS weights, eval mode, BEV fusion + CenterNet."""
@@ -137,7 +221,8 @@ def test_full_model_forward_matches_live_reference(modality):
         )
 
 
-def test_live_reference_state_dict_layout_is_fully_consumed():
+@pytest.mark.parametrize("modality", ["lidar+radar", "camera+lidar+radar"])
+def test_live_reference_state_dict_layout_is_fully_consumed(modality):
     """Every learnable tensor in the real reference state_dict must be
     consumed by the converter (no silently-dropped weights), and the
     converted tree must slot into our model's init tree unchanged."""
@@ -145,7 +230,7 @@ def test_live_reference_state_dict_layout_is_fully_consumed():
 
     torch.manual_seed(3)
     ref = ref_fusion.create_detector(
-        "lidar+radar", "bev", "centernet", num_classes=10
+        modality, "bev", "centernet", num_classes=10
     ).eval()
     sd = ref.state_dict()
     params, stats = convert_reference_checkpoint(sd)
@@ -159,11 +244,15 @@ def test_live_reference_state_dict_layout_is_fully_consumed():
     )
     assert n_src == n_dst, f"converter dropped weights: {n_src} vs {n_dst}"
 
-    ours = create_detector("lidar+radar", "bev", "centernet", num_classes=10)
+    ours = create_detector(modality, "bev", "centernet", num_classes=10)
     rng = np.random.RandomState(0)
     init_vars = ours.init(
         {"params": jax.random.PRNGKey(0)},
-        None,
+        (
+            jnp.asarray(rng.rand(1, 6, 32, 64, 3).astype(np.float32))
+            if "camera" in modality
+            else None
+        ),
         jnp.asarray(rng.randn(1, 64, 4).astype(np.float32)),
         jnp.asarray(rng.randn(1, 5, 16, 7).astype(np.float32)),
         train=False,
@@ -175,7 +264,8 @@ def test_live_reference_state_dict_layout_is_fully_consumed():
     )
 
 
-def test_full_model_decode_matches_live_reference():
+@pytest.mark.parametrize("modality", ["lidar+radar", "camera+lidar+radar"])
+def test_full_model_decode_matches_live_reference(modality):
     """End-to-end: reference model -> reference decode vs our model (same
     migrated weights) -> our decode. Detections must agree box-for-box."""
     from bevfusion_multimodal_3d_object_detection_tpu.ops.decode import (
@@ -185,8 +275,7 @@ def test_full_model_decode_matches_live_reference():
 
     ref_ct = pytest.importorskip("centernet_target")
 
-    out_jax, out_torch = _forward_pair("lidar+radar", seed=7,
-                                       boost_heads=True)
+    out_jax, out_torch = _forward_pair(modality, seed=7, boost_heads=True)
     ref_det = ref_ct.decode_centernet_predictions(
         out_torch, score_thresh=0.0, max_detections=20
     )
