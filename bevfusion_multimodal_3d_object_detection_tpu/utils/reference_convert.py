@@ -2,9 +2,10 @@
 reference framework -> this framework's flax variables.
 
 Lets a user of the reference switch frameworks and keep their trained
-weights. Maps the tri-modal flagship (BEV fusion + CenterNet head) module
-tree; missing keys are left at their current values (the reference itself
-loads with strict=False, eval.py:211).
+weights. Maps every fusion type the reference factory can build (BEV /
+attention / late) and both heads (CenterNet / MLP); missing keys are left
+at their current values (the reference itself loads with strict=False,
+eval.py:211).
 
 Key layout of the reference (all cited in /root/reference/src):
   camera_encoder.conv1/bn1, camera_encoder.layer{1..3}.{0,1}.*,
@@ -12,12 +13,23 @@ Key layout of the reference (all cited in /root/reference/src):
   lidar_encoder.conv{1..5}/bn{1..5}                     (encoders.py:252-263)
   radar_encoder.radar_encoder.conv{1..4}/bn{1..4},
   radar_encoder.fusion_fc                               (encoders.py:515-523, 65)
+BEV fusion (fusion.py:43-299):
   fusion.camera_proj.{0,1,3,4}                          (fusion.py:126-133)
   fusion.lidar_init.{0,2}                               (fusion.py:144-148)
   fusion.lidar_upsample.{0,1,4,5}                       (fusion.py:151-174)
   fusion.radar_proj.0, fusion.radar_refine.{0,1,3,4}    (fusion.py:183-196)
   fusion.bev_fusion.{0,1,3,4}                           (fusion.py:198-207)
+Attention fusion (fusion.py:460-570):
+  fusion.{camera,lidar,radar}_proj (Linear, no index),
+  fusion.{cam,lidar,radar}_pos_embed                    (fusion.py:533-543)
+  fusion.self_attention_layers.{i}.self_attn.{query,key,value,out},
+  .ffn.{0,3}, .norm1, .norm2                            (fusion.py:546-562)
+  fusion.output_proj.{0,3}                              (fusion.py:565-570)
+Late fusion (fusion.py:725-732):
+  fusion.fusion_mlp.{0,3}
+Heads:
   det_head.{heatmap,offset,size,rot,vel}_head.{0,2}     (fusion.py:822-854)
+  det_head.head.{0,3}  (MLP head)                       (fusion.py:919-924)
 
 Weight layout conversions:
   Conv2d  (O, I, kH, kW) -> (kH, kW, I, O)
@@ -69,6 +81,20 @@ def _conv_bn(sd: Dict, conv_key: str, bn_key: str, name: str, params, stats,
     params[f"{name}_bn"], stats[f"{name}_bn"] = _bn(sd, bn_key)
 
 
+def _dense(sd: Dict, prefix: str) -> Dict:
+    return {
+        "kernel": _linear(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _layernorm(sd: Dict, prefix: str) -> Dict:
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
 def _point_mlp(sd: Dict, num_layers: int) -> Tuple[Dict, Dict]:
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -86,7 +112,9 @@ def convert_reference_checkpoint(
     state_dict: Dict[str, Any],
 ) -> Tuple[Dict, Dict]:
     """torch state_dict (reference key layout) -> (params, batch_stats)
-    subtrees for `MultiModal3DDetector` (tri-modal BEV + CenterNet)."""
+    subtrees for `MultiModal3DDetector`. Detects which modules are present
+    by their keys, so any factory combination (modalities x bev/attention/
+    late fusion x centernet/mlp head) converts."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -169,6 +197,39 @@ def convert_reference_checkpoint(
                  "bev_fusion1", fus_p, fus_s)
         _conv_bn(sd, "fusion.bev_fusion.3", "fusion.bev_fusion.4",
                  "bev_fusion2", fus_p, fus_s)
+
+    # ---- attention fusion (Linear projections carry NO Sequential index:
+    # `fusion.camera_proj.weight`, vs the BEV layout's
+    # `fusion.camera_proj.0.weight` — the two layouts cannot collide) -------
+    if "fusion.output_proj.0.weight" in sd:
+        for ref_name, pe_name in (
+            ("camera_proj", "cam_pos_embed"),
+            ("lidar_proj", "lidar_pos_embed"),
+            ("radar_proj", "radar_pos_embed"),
+        ):
+            if f"fusion.{ref_name}.weight" in sd:
+                fus_p[ref_name] = _dense(sd, f"fusion.{ref_name}")
+                fus_p[pe_name] = np.asarray(sd[f"fusion.{pe_name}"])
+        i = 0
+        while f"fusion.self_attention_layers.{i}.norm1.weight" in sd:
+            base = f"fusion.self_attention_layers.{i}"
+            fus_p[f"self_attn_{i}"] = {
+                part: _dense(sd, f"{base}.self_attn.{part}")
+                for part in ("query", "key", "value", "out")
+            }
+            fus_p[f"ffn1_{i}"] = _dense(sd, f"{base}.ffn.0")
+            fus_p[f"ffn2_{i}"] = _dense(sd, f"{base}.ffn.3")
+            fus_p[f"norm1_{i}"] = _layernorm(sd, f"{base}.norm1")
+            fus_p[f"norm2_{i}"] = _layernorm(sd, f"{base}.norm2")
+            i += 1
+        fus_p["out_proj1"] = _dense(sd, "fusion.output_proj.0")
+        fus_p["out_proj2"] = _dense(sd, "fusion.output_proj.3")
+
+    # ---- late fusion ----------------------------------------------------
+    if "fusion.fusion_mlp.0.weight" in sd:
+        fus_p["fusion1"] = _dense(sd, "fusion.fusion_mlp.0")
+        fus_p["fusion2"] = _dense(sd, "fusion.fusion_mlp.3")
+
     if fus_p:
         params["fusion"] = fus_p
         stats["fusion"] = fus_s
@@ -188,6 +249,12 @@ def convert_reference_checkpoint(
                     "bias": np.asarray(sd[f"{key}.2.bias"]),
                 },
             }
+
+    # ---- MLP head (non-spatial fusions, ref: fusion.py:919-939) ----------
+    if "det_head.head.0.weight" in sd:
+        head_p["fc1"] = _dense(sd, "det_head.head.0")
+        head_p["fc2"] = _dense(sd, "det_head.head.3")
+
     if head_p:
         params["det_head"] = head_p
 

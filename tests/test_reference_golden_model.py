@@ -130,7 +130,7 @@ from bevfusion_multimodal_3d_object_detection_tpu.utils.reference_convert import
 BRANCHES = ("heatmap", "offset", "size", "rot", "vel")
 
 
-def _forward_pair(modality, seed, boost_heads=False):
+def _forward_pair(modality, seed, boost_heads=False, fusion_type="bev"):
     """Build reference + our detector, migrate weights, run both forwards.
 
     boost_heads re-randomizes the final conv of every head branch at unit
@@ -144,7 +144,7 @@ def _forward_pair(modality, seed, boost_heads=False):
     migration path for every BN in the live reference layout."""
     torch.manual_seed(seed)
     ref = ref_fusion.create_detector(
-        modality, "bev", "centernet", num_classes=10
+        modality, fusion_type, "centernet", num_classes=10
     ).eval()
     with torch.no_grad():
         for m in ref.modules():
@@ -165,7 +165,7 @@ def _forward_pair(modality, seed, boost_heads=False):
                 head[2].bias.normal_(0.0, scale)
     params, stats = convert_reference_checkpoint(ref.state_dict())
 
-    ours = create_detector(modality, "bev", "centernet", num_classes=10)
+    ours = create_detector(modality, fusion_type, "centernet", num_classes=10)
 
     rng = np.random.RandomState(seed + 1)
     b, n_lidar, n_radar, img_h, img_w = 2, 64, 16, 32, 64
@@ -303,3 +303,51 @@ def test_full_model_decode_matches_live_reference(modality):
         o_rows = o_rows[np.lexsort(o_rows[:, :3].T)]
         np.testing.assert_allclose(o_rows, r_rows, rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(o["labels"], r["labels"].numpy())
+
+
+@pytest.mark.parametrize("fusion_type", ["attention", "late"])
+@pytest.mark.parametrize("modality", ["camera+lidar+radar", "lidar+radar"])
+def test_nonspatial_fusion_forward_matches_live_reference(
+    modality, fusion_type
+):
+    """Attention / late fusion route to the MLP head in both frameworks
+    (ref: fusion.py:1075-1088 `is_spatial and centernet` gate); assert
+    {'cls','box'} parity against the live reference with migrated weights.
+    Attention covers CrossModalAttention (fusion.py:391-457), pos-embeds,
+    pre-norm residual blocks, and output_proj; late covers fusion_mlp
+    (fusion.py:725-732)."""
+    out_jax, out_torch = _forward_pair(
+        modality, seed=11, fusion_type=fusion_type
+    )
+    assert set(out_jax) == {"cls", "box"} == set(out_torch)
+    for key in ("cls", "box"):
+        np.testing.assert_allclose(
+            np.asarray(out_jax[key]),
+            out_torch[key].numpy(),
+            atol=1e-5,
+            rtol=1e-5,
+            err_msg=f"{modality}:{fusion_type}:{key}",
+        )
+
+
+@pytest.mark.parametrize("fusion_type", ["attention", "late"])
+def test_nonspatial_state_dict_layout_is_fully_consumed(fusion_type):
+    """The converter must consume every learnable tensor of the attention /
+    late reference layouts too (pos-embeds, per-layer attention projections,
+    LayerNorms, FFNs, MLP head)."""
+    import jax
+
+    torch.manual_seed(5)
+    ref = ref_fusion.create_detector(
+        "camera+lidar+radar", fusion_type, "centernet", num_classes=10
+    ).eval()
+    sd = ref.state_dict()
+    params, stats = convert_reference_checkpoint(sd)
+    n_src = sum(
+        v.numel() for k, v in sd.items() if "num_batches_tracked" not in k
+    )
+    n_dst = sum(
+        int(np.prod(np.shape(x)))
+        for x in jax.tree_util.tree_leaves((params, stats))
+    )
+    assert n_src == n_dst, f"converter dropped weights: {n_src} vs {n_dst}"
