@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+# Single source of truth for the MFU denominator (TPU v5e bf16 peak);
+# bench.py's module level is side-effect-free constants + function defs.
+from bench import PEAK_BF16_FLOPS
+
 
 def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
@@ -360,7 +364,7 @@ def bench_trunk_stages(results):
     chans = (64, 128, 256)
     prev_ms = 0.0
     prev_flops = 0.0
-    peak = 197e12  # v5e bf16
+    peak = PEAK_BF16_FLOPS
     for k in range(0, len(full_stages) + 1):
         model = ResNet18Trunk(
             dtype=jnp.bfloat16,
@@ -781,8 +785,6 @@ def bench_trainstages(results):
     )
     from bevfusion_multimodal_3d_object_detection_tpu.train import Trainer
 
-    PEAK_BF16_FLOPS = 197e12  # TPU v5e peak (bench.py)
-
     cfg = load_config("configs/base.yaml")
     spec = DetectorSpec.from_config(cfg)
     compat = CompatFlags()
@@ -882,7 +884,12 @@ def bench_trainstages(results):
         dt = (time.perf_counter() - t0) / iters
         flops = None
         try:
-            ca = fn.lower(*args).compile().cost_analysis()
+            # cost_analysis straight off the Lowered module: no second XLA
+            # compile of graphs the jit above already built (a fwd+bwd
+            # compile is multi-minute on this 1-core host, and even a
+            # persistent-cache HIT costs multiples of a miss here — see
+            # ARCHITECTURE.md "AOT x compile cache").
+            ca = fn.lower(*args).cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             f = float(ca.get("flops", 0.0))
